@@ -1,0 +1,41 @@
+"""Test harness: force an 8-device virtual CPU mesh before jax imports.
+
+Multi-chip sharding logic (data-parallel psum, SimCLR NT-Xent all-gather) is
+validated on virtual CPU devices per SURVEY.md §4.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def synthetic_case(tmp_path_factory):
+    """A tiny synthetic data root with one tumor and one normal slide."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.synthetic import (
+        SyntheticSlideSpec,
+        tumor_spec,
+        write_synthetic_case,
+    )
+
+    root = str(tmp_path_factory.mktemp("camelyon16"))
+    write_synthetic_case(
+        root, "tumor_001", tumor_spec(width=1024, height=768, seed=1)
+    )
+    write_synthetic_case(
+        root, "normal_001", SyntheticSlideSpec(width=1024, height=768, seed=2)
+    )
+    return root
