@@ -32,10 +32,18 @@ def synthetic_case(tmp_path_factory):
     )
 
     root = str(tmp_path_factory.mktemp("camelyon16"))
+    # Sized so that the level-2 patch grid (448px patches over a 448x336
+    # level) yields tissue-bearing patches despite white pad-to-grid.
     write_synthetic_case(
-        root, "tumor_001", tumor_spec(width=1024, height=768, seed=1)
+        root,
+        "tumor_001",
+        tumor_spec(width=1792, height=1344, tissue_radii=(0.45, 0.45), seed=1),
     )
     write_synthetic_case(
-        root, "normal_001", SyntheticSlideSpec(width=1024, height=768, seed=2)
+        root,
+        "normal_001",
+        SyntheticSlideSpec(
+            width=1792, height=1344, tissue_radii=(0.45, 0.45), seed=2
+        ),
     )
     return root
