@@ -1,0 +1,182 @@
+"""Batched feature extraction over a patch level.
+
+Rebuild of ``extract_features`` / ``extract_features_with_simclr``
+(``src/main.py:805-932``): runs the fc-stripped ResNet18 over every patch of
+a level and writes the reference's artifact triplet —
+
+    features/patch_features_{L}.npy   (N, 512) float32
+    features/patch_labels_{L}.npy     (N,) int
+    features/patch_paths_{L}.txt      N patch names
+
+so the downstream feature-eval and MIL stages (and any tooling written
+against the reference) interoperate.
+
+This is the throughput-benchmark path (BASELINE.json: ≥20k 224² patches/s/
+chip): one jitted normalize+forward step, static batch shape, async dispatch
+so host batch gathering overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ss25_hierarchical_multiscale_image_classification_tpu.config import Config
+from ss25_hierarchical_multiscale_image_classification_tpu.data.datasets import (
+    BatchIterator,
+    PatchDataset,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.data.manifest import (
+    load_or_scan_manifest,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.logging_utils import (
+    Timer,
+    get_logger,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.models.resnet import (
+    ResNet18FeatureExtractor,
+    strip_head,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.train.checkpoints import (
+    load_model,
+)
+
+log = get_logger("infer.features")
+
+
+def make_feature_step(model):
+    from ss25_hierarchical_multiscale_image_classification_tpu.data.augment import (
+        preprocess_batch,
+    )
+
+    @jax.jit
+    def feature_step(params, batch_stats, imgs_u8):
+        imgs = preprocess_batch(jax.random.key(0), imgs_u8, training=False)
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, imgs, train=False
+        )
+
+    return feature_step
+
+
+def run_feature_extraction(
+    dataset: PatchDataset,
+    variables: dict,
+    batch_size: int = 512,
+    mesh=None,
+    dtype=jnp.bfloat16,
+) -> tuple[np.ndarray, np.ndarray, list[str]]:
+    """Forward every patch through the extractor; returns
+    (features (N, 512), labels (N,), patch names)."""
+    mesh = mesh or make_mesh()
+    model = ResNet18FeatureExtractor(dtype=dtype)
+    variables = replicate(
+        mesh,
+        {
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+        },
+    )
+    step = make_feature_step(model)
+
+    batches = BatchIterator(dataset, batch_size, shuffle=False)
+    feats_out: list[np.ndarray] = []
+    n_total = len(dataset)
+    with Timer(f"feature_extraction[{n_total} patches]", log):
+        for imgs, _labels, valid in batches:
+            imgs = shard_batch(mesh, imgs)
+            feats = step(variables["params"], variables["batch_stats"], imgs)
+            feats_out.append(np.asarray(feats[: int(valid.sum())]))
+    features = (
+        np.concatenate(feats_out, axis=0)
+        if feats_out
+        else np.zeros((0, 512), np.float32)
+    )
+    labels = dataset.labels
+    names = [rec.patch_name for rec in dataset.manifest]
+    return features.astype(np.float32), labels, names
+
+
+def _save_artifacts(
+    features_dir: str, level: int, feats: np.ndarray, labels: np.ndarray,
+    names: list[str],
+) -> None:
+    os.makedirs(features_dir, exist_ok=True)
+    np.save(os.path.join(features_dir, f"patch_features_{level}.npy"), feats)
+    np.save(os.path.join(features_dir, f"patch_labels_{level}.npy"), labels)
+    with open(os.path.join(features_dir, f"patch_paths_{level}.txt"), "w") as f:
+        f.write("\n".join(names))
+    log.info(
+        "Saved features %s (shape %s) to %s", level, feats.shape, features_dir
+    )
+
+
+def extract_features(
+    cfg: Config, level: int = 3, model_path: str | None = None,
+    batch_size: int | None = None,
+) -> np.ndarray:
+    """Classifier-trunk feature extraction (``src/main.py:805-894``):
+    loads the trained classifier, strips the fc head into the extractor."""
+    manifest = load_or_scan_manifest(cfg.data.patches_dir, level)
+    if len(manifest) == 0:
+        raise FileNotFoundError(f"no patches at level {level}")
+    dataset = PatchDataset(manifest)
+
+    model_path = model_path or os.path.join(
+        cfg.models_dir, "resnet18_patch_classifier"
+    )
+    variables = load_model(model_path)
+    trunk = strip_head(
+        {
+            "params": dict(variables["params"]),
+            "batch_stats": dict(variables.get("batch_stats", {})),
+        }
+    )
+    feats, labels, names = run_feature_extraction(
+        dataset, trunk, batch_size or cfg.train.batch_size
+    )
+    _save_artifacts(cfg.data.features_dir, level, feats, labels, names)
+    return feats
+
+
+def extract_features_with_simclr(
+    cfg: Config, level: int = 3, encoder_path: str | None = None,
+    batch_size: int | None = None,
+) -> np.ndarray:
+    """SimCLR-encoder feature extraction (``src/main.py:897-932``)."""
+    manifest = load_or_scan_manifest(cfg.data.patches_dir, level)
+    if len(manifest) == 0:
+        raise FileNotFoundError(f"no patches at level {level}")
+    dataset = PatchDataset(manifest)
+
+    encoder_path = encoder_path or os.path.join(cfg.models_dir, "simclr_encoder")
+    variables = load_model(encoder_path)
+    trunk = {
+        "params": variables["params"].get("encoder", variables["params"]),
+        "batch_stats": variables.get("batch_stats", {}).get(
+            "encoder", variables.get("batch_stats", {})
+        ),
+    }
+    feats, labels, names = run_feature_extraction(
+        dataset, trunk, batch_size or cfg.train.batch_size
+    )
+    _save_artifacts(cfg.data.features_dir, level, feats, labels, names)
+    return feats
+
+
+def load_feature_artifacts(
+    features_dir: str, level: int
+) -> tuple[np.ndarray, np.ndarray, list[str]]:
+    feats = np.load(os.path.join(features_dir, f"patch_features_{level}.npy"))
+    labels = np.load(os.path.join(features_dir, f"patch_labels_{level}.npy"))
+    with open(os.path.join(features_dir, f"patch_paths_{level}.txt")) as f:
+        names = [line.strip() for line in f if line.strip()]
+    return feats, labels, names

@@ -1,0 +1,206 @@
+"""Full-slide sliding-window inference → probability grid → detections.
+
+The reference's FROC stage consumes per-slide detection CSVs of ``prob,x,y``
+rows in level-0 coordinates (``src/utils/evaluation_FROC.py:67-88``) but the
+producer of those CSVs is **not in the repo** (SURVEY.md §3.5). This module
+implements it TPU-natively:
+
+1. grid the slide at a level (stride = patch size by default, finer for
+   smoother heatmaps);
+2. stream tissue patches through the jitted classifier in static batches
+   (white patches short-circuit to probability 0, mirroring the extraction
+   tissue filter ``src/main.py:718-719``);
+3. assemble the (ny, nx) tumor-probability grid;
+4. emit candidate detections via greedy grid non-max suppression, with
+   coordinates mapped to level-0 pixel centers for the FROC hit test
+   (``evaluation_FROC.py:134``).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import jax
+import numpy as np
+
+from ss25_hierarchical_multiscale_image_classification_tpu.config import (
+    TISSUE_MEAN_RGB_THRESHOLD,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.grid.pyramid import (
+    PatchGrid,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.io.slide import (
+    Slide,
+    open_slide,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.logging_utils import (
+    Timer,
+    get_logger,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.models.resnet import (
+    ResNet18Classifier,
+)
+
+log = get_logger("infer.sliding_window")
+
+
+def make_prob_step(model, input_size: int = 224):
+    from ss25_hierarchical_multiscale_image_classification_tpu.data.augment import (
+        preprocess_batch,
+    )
+    import jax.numpy as jnp
+
+    @jax.jit
+    def prob_step(params, batch_stats, imgs_u8):
+        imgs = preprocess_batch(jax.random.key(0), imgs_u8, training=False)
+        if imgs.shape[1] != input_size:
+            # patches from coarser/finer levels resize on device
+            imgs = jax.image.resize(
+                imgs,
+                (imgs.shape[0], input_size, input_size, 3),
+                method="bilinear",
+            )
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats}, imgs, train=False
+        )
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
+
+    return prob_step
+
+
+def predict_slide(
+    slide_or_path: Slide | str,
+    variables: dict,
+    level: int = 3,
+    stride: int | None = None,
+    batch_size: int = 512,
+    model=None,
+    tissue_threshold: float = TISSUE_MEAN_RGB_THRESHOLD,
+    input_size: int = 224,
+) -> tuple[np.ndarray, PatchGrid]:
+    """Tumor probability per grid cell.
+
+    Returns (probs (ny, nx) float32 indexed [y_idx, x_idx], grid). Non-tissue
+    cells are 0.
+    """
+    slide = (
+        open_slide(slide_or_path) if isinstance(slide_or_path, str) else slide_or_path
+    )
+    own = isinstance(slide_or_path, str)
+    try:
+        grid = PatchGrid.for_slide_level(
+            level,
+            slide.level_dimensions[level],
+            slide.level_downsamples[level],
+            stride=stride,
+        )
+        coords = grid.coords_array()
+        model = model or ResNet18Classifier()
+        step = make_prob_step(model, input_size)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+        ps = grid.patch_size
+        n = len(coords)
+        probs = np.zeros((n,), np.float32)
+
+        def read_patch(i: int) -> np.ndarray:
+            x, y = int(coords[i, 0]), int(coords[i, 1])
+            w, h = grid.valid_patch_extent(x, y)
+            region = slide.read_region(grid.level0_origin(x, y), level, (w, h))
+            if w < ps or h < ps:
+                full = np.full((ps, ps, 3), 255, np.uint8)
+                full[:h, :w] = region
+                region = full
+            return region
+
+        with Timer(f"predict_slide[{n} cells]", log):
+            batch_imgs = np.zeros((batch_size, ps, ps, 3), np.uint8)
+            batch_pos: list[int] = []
+            for i in range(n):
+                patch = read_patch(i)
+                if patch.mean() > tissue_threshold:
+                    continue  # background stays prob 0
+                batch_imgs[len(batch_pos)] = patch
+                batch_pos.append(i)
+                if len(batch_pos) == batch_size:
+                    p = np.asarray(step(params, batch_stats, batch_imgs))
+                    probs[np.asarray(batch_pos)] = p
+                    batch_pos = []
+            if batch_pos:
+                p = np.asarray(step(params, batch_stats, batch_imgs))
+                probs[np.asarray(batch_pos)] = p[: len(batch_pos)]
+
+        # scatter into the (ny, nx) grid
+        stride_px = grid.stride
+        nx = len({int(c[0]) for c in coords})
+        ny = len({int(c[1]) for c in coords})
+        out = np.zeros((ny, nx), np.float32)
+        for i, (x, y) in enumerate(coords):
+            out[y // stride_px, x // stride_px] = probs[i]
+        return out, grid
+    finally:
+        if own:
+            slide.close()
+
+
+def nms_detections(
+    prob_grid: np.ndarray,
+    grid: PatchGrid,
+    threshold: float = 0.5,
+    radius_cells: int = 1,
+    max_detections: int = 1000,
+) -> list[tuple[float, int, int]]:
+    """Greedy grid NMS → [(prob, x_level0, y_level0)] at patch centers."""
+    probs = prob_grid.copy()
+    out: list[tuple[float, int, int]] = []
+    ds = grid.downsample
+    half = grid.patch_size // 2
+    while len(out) < max_detections:
+        idx = np.unravel_index(np.argmax(probs), probs.shape)
+        p = float(probs[idx])
+        if p < threshold:
+            break
+        gy, gx = int(idx[0]), int(idx[1])
+        x0 = int((gx * grid.stride + half) * ds)
+        y0 = int((gy * grid.stride + half) * ds)
+        out.append((p, x0, y0))
+        y_lo, y_hi = max(0, gy - radius_cells), gy + radius_cells + 1
+        x_lo, x_hi = max(0, gx - radius_cells), gx + radius_cells + 1
+        probs[y_lo:y_hi, x_lo:x_hi] = -1.0
+    return out
+
+
+def write_detection_csv(
+    path: str, detections: list[tuple[float, int, int]]
+) -> None:
+    """CSV rows ``prob,x,y`` as the FROC reader expects
+    (``evaluation_FROC.py:67-88``: no header, 3 columns)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        for prob, x, y in detections:
+            w.writerow([prob, x, y])
+
+
+def predict_and_export(
+    slide_path: str,
+    variables: dict,
+    csv_dir: str,
+    level: int = 3,
+    threshold: float = 0.5,
+    **kw,
+) -> tuple[np.ndarray, str]:
+    """Full producer: probability grid + detection CSV for one slide."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.data.extract import (
+        slide_name,
+    )
+
+    name = slide_name(os.path.basename(slide_path))
+    prob_grid, grid = predict_slide(slide_path, variables, level=level, **kw)
+    detections = nms_detections(prob_grid, grid, threshold=threshold)
+    csv_path = os.path.join(csv_dir, f"{name}.csv")
+    write_detection_csv(csv_path, detections)
+    log.info("%s: %d detections → %s", name, len(detections), csv_path)
+    return prob_grid, csv_path

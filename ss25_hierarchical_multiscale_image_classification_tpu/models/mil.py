@@ -1,0 +1,124 @@
+"""Attention-MIL bag classifier with masked, shape-static bags.
+
+The reference designed (but never wired) an ABMIL track: attention pooling
+``softmax(U·tanh(V·x))`` over patch instances plus a 2-layer MLP head
+(``src/models/mil_classifier.py:5-58``), alternative mean/attention poolings
+(``src/models/mil_pooling.py``), a broken numpy/torch ``predict`` and a TODO
+uncertainty stub. Here the track is fully wired and TPU-shaped:
+
+- bags are padded to a static ``max_bag_size`` with a boolean mask (XLA wants
+  static shapes; MIL bags are variable-length sets of up to ~10^4 patches);
+- attention logits of padded slots are masked to −inf before softmax;
+- ``predict`` is jittable softmax (fixing ``mil_classifier.py:47-54``);
+- MC-dropout uncertainty is implemented (see ``evaluation/uncertainty.py``)
+  rather than stubbed.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+_NEG_INF = -1e9
+
+
+class MILAttentionPooling(nn.Module):
+    """Gated-less attention pooling (``mil_classifier.py:12-18``):
+    a = softmax(w · tanh(V h^T)), bag = Σ a_k h_k."""
+
+    hidden_dim: int = 128
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, mask=None):
+        """h: (..., K, D) instances; mask: (..., K) bool, True = real.
+
+        Returns (bag (..., D), attention (..., K))."""
+        a = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="V")(h)
+        a = jnp.tanh(a)
+        a = nn.Dense(1, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="w")(a)[..., 0]  # (..., K)
+        if mask is not None:
+            a = jnp.where(mask, a, _NEG_INF)
+        attn = nn.softmax(a.astype(jnp.float32), axis=-1)
+        bag = jnp.einsum("...k,...kd->...d", attn.astype(h.dtype), h)
+        return bag, attn
+
+
+def mean_pool(h, mask=None):
+    """Masked mean pooling (``mil_pooling.py:7-20``, ``mil_classifier.py:27``)."""
+    if mask is None:
+        return jnp.mean(h, axis=-2)
+    m = mask.astype(h.dtype)[..., None]
+    return jnp.sum(h * m, axis=-2) / jnp.maximum(jnp.sum(m, axis=-2), 1.0)
+
+
+def max_pool(h, mask=None):
+    """Masked max pooling (``mil_classifier.py:29``)."""
+    if mask is not None:
+        h = jnp.where(mask[..., None], h, _NEG_INF)
+    return jnp.max(h, axis=-2)
+
+
+class MILClassifier(nn.Module):
+    """Bag classifier: pooling ∈ {attention, mean, max} + MLP 512→128→2
+    (``mil_classifier.py:20-45``)."""
+
+    num_classes: int = 2
+    attention_hidden_dim: int = 128
+    head_hidden_dim: int = 128
+    pooling: str = "attention"
+    dropout_rate: float = 0.25
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, bags, mask=None, train: bool = False):
+        """bags: (B, K, D) padded instance features; mask: (B, K) bool.
+
+        Returns (logits (B, num_classes), attention (B, K) or None)."""
+        attn = None
+        if self.pooling == "attention":
+            pooled, attn = MILAttentionPooling(
+                hidden_dim=self.attention_hidden_dim,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+            )(bags, mask)
+        elif self.pooling == "mean":
+            pooled = mean_pool(bags, mask)
+        elif self.pooling == "max":
+            pooled = max_pool(bags, mask)
+        else:
+            raise ValueError(f"unknown pooling {self.pooling!r}")
+
+        x = nn.Dense(self.head_hidden_dim, dtype=self.dtype,
+                     param_dtype=self.param_dtype)(pooled)
+        x = nn.relu(x)
+        # dropout enables MC-dropout uncertainty at inference (uncertainty.py)
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        logits = nn.Dense(self.num_classes, dtype=self.dtype,
+                          param_dtype=self.param_dtype)(x)
+        return logits.astype(jnp.float32), attn
+
+
+def pad_bag(features, max_bag_size: int):
+    """Pad (K, D) instance features to (max_bag_size, D) + mask.
+
+    Oversized bags are truncated (uniformly strided so spatial coverage is
+    preserved rather than dropping the tail).
+    """
+    import numpy as np
+
+    k, d = features.shape
+    if k > max_bag_size:
+        idx = np.linspace(0, k - 1, max_bag_size).astype(np.int64)
+        features = features[idx]
+        k = max_bag_size
+    out = np.zeros((max_bag_size, d), features.dtype)
+    out[:k] = features
+    mask = np.zeros((max_bag_size,), bool)
+    mask[:k] = True
+    return out, mask
