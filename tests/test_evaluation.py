@@ -1,0 +1,224 @@
+"""FROC, feature eval, metrics, uncertainty."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ss25_hierarchical_multiscale_image_classification_tpu.evaluation import (
+    compute_evaluation_mask,
+    compute_fp_tp_probs,
+    compute_froc,
+    compute_itc_list,
+    read_csv_content,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.froc import (
+    froc_score,
+    run_froc_evaluation,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.metrics import (
+    accuracy_score,
+    classification_report,
+    confusion_matrix,
+    f1_score,
+    precision_score,
+    recall_score,
+)
+
+
+def _disk_mask(h=256, w=256, cy=128, cx=128, r=40):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (((yy - cy) ** 2 + (xx - cx) ** 2) <= r * r).astype(np.uint8) * 255
+
+
+def test_evaluation_mask_expands_and_labels():
+    mask = _disk_mask()
+    # at level 5, threshold = 75/(0.243*32*2) ≈ 4.8 px expansion
+    ev = compute_evaluation_mask(mask, 0.243, 5)
+    assert ev.max() == 1  # one region
+    assert (ev > 0).sum() > (mask > 0).sum()  # expanded
+
+
+def test_evaluation_mask_two_regions():
+    mask = np.maximum(
+        _disk_mask(cy=60, cx=60, r=20), _disk_mask(cy=200, cx=200, r=20)
+    )
+    ev = compute_evaluation_mask(mask, 0.243, 5)
+    assert ev.max() == 2
+
+
+def test_itc_detection():
+    # big region (r=40 → major axis ≈ 80px > 35.4) is not ITC;
+    # tiny region (r=3 → ≈6px) is ITC at level 5
+    mask = np.maximum(
+        _disk_mask(cy=80, cx=80, r=40), _disk_mask(cy=220, cx=220, r=3)
+    )
+    ev = compute_evaluation_mask(mask, 0.243, 5)
+    itc = compute_itc_list(ev, 0.243, 5)
+    assert len(itc) == 1
+    # the ITC label corresponds to the small region
+    small_label = ev[220, 220]
+    assert itc == [int(small_label)]
+
+
+def test_fp_tp_assignment():
+    mask = _disk_mask(cy=128, cx=128, r=40)
+    ev = compute_evaluation_mask(mask, 0.243, 5)
+    level = 5
+    scale = 2**level
+    # one detection inside (level-0 coords), one outside
+    xcorr = [128 * scale, 10 * scale]
+    ycorr = [128 * scale, 10 * scale]
+    probs = [0.9, 0.8]
+    fp, tp, n_tumors, det, fps = compute_fp_tp_probs(
+        ycorr, xcorr, probs, True, ev, [], level
+    )
+    assert n_tumors == 1
+    assert list(tp) == [pytest.approx(0.9)]
+    assert fp == [0.8]
+    assert det["Label 1"][0] == 0.9
+
+
+def test_fp_tp_normal_case_all_fp():
+    fp, tp, n, det, fps = compute_fp_tp_probs(
+        [100], [100], [0.7], False, None, [], 5
+    )
+    assert fp == [0.7] and len(tp) == 0 and n == 0
+
+
+def test_froc_curve_and_score():
+    froc_data = {
+        "fp_probs": [[0.3], []],
+        "tp_probs": [np.array([0.9], np.float32), np.array([0.8], np.float32)],
+        "num_tumors": [1, 1],
+    }
+    fps, sens = compute_froc(froc_data)
+    assert sens[0] == 1.0  # lowest threshold finds both tumors
+    assert fps[-1] == 0.0 and sens[-1] == 0.0
+    score = froc_score(fps, sens)
+    assert 0.0 <= score <= 1.0
+
+
+def test_read_csv(tmp_path):
+    p = tmp_path / "case.csv"
+    p.write_text("0.9,100,200\n0.5,300,400\n")
+    probs, xs, ys = read_csv_content(str(p))
+    assert probs == [0.9, 0.5] and xs == [100, 300] and ys == [200, 400]
+
+
+def test_run_froc_evaluation_end_to_end(tmp_path):
+    """Synthetic 2-case FROC run: one tumor case with a hit + one normal
+    case with an FP."""
+    csv_dir = tmp_path / "csv"
+    mask_dir = tmp_path / "masks"
+    csv_dir.mkdir()
+    mask_dir.mkdir()
+    level, scale = 5, 32
+
+    mask = _disk_mask(cy=128, cx=128, r=40)
+    np.save(mask_dir / "tumor_001_mask.npy", mask)
+    (csv_dir / "tumor_001.csv").write_text(
+        f"0.95,{128 * scale},{128 * scale}\n0.4,{10 * scale},{10 * scale}\n"
+    )
+    (csv_dir / "normal_001.csv").write_text(f"0.2,{50 * scale},{50 * scale}\n")
+
+    result = run_froc_evaluation(
+        str(csv_dir), str(mask_dir), level=level,
+        plot_path=str(tmp_path / "froc.png"),
+    )
+    assert result["names"] == ["normal_001", "tumor_001"]
+    assert result["num_tumors"] == [0, 1]
+    assert result["score"] == 1.0  # the tumor is found at every FP rate
+    assert os.path.exists(tmp_path / "froc.png")
+
+
+def test_scratch_metrics():
+    y_true = np.array([0, 0, 1, 1, 1])
+    y_pred = np.array([0, 1, 1, 1, 0])
+    assert accuracy_score(y_true, y_pred) == pytest.approx(0.6)
+    assert precision_score(y_true, y_pred) == pytest.approx(2 / 3)
+    assert recall_score(y_true, y_pred) == pytest.approx(2 / 3)
+    assert f1_score(y_true, y_pred) == pytest.approx(2 / 3)
+    cm = confusion_matrix(y_true, y_pred)
+    assert cm.tolist() == [[1, 1], [1, 2]]
+    rep = classification_report(y_true, y_pred)
+    assert set(rep) == {"accuracy", "precision", "recall", "f1", "confusion_matrix"}
+
+
+def test_validate_features_structure():
+    from ss25_hierarchical_multiscale_image_classification_tpu.evaluation import (
+        validate_features,
+    )
+
+    rng = np.random.default_rng(0)
+    # two separable clusters
+    f0 = rng.normal(0, 1, (40, 16))
+    f1 = rng.normal(4, 1, (40, 16))
+    feats = np.concatenate([f0, f1]).astype(np.float32)
+    labels = np.array([0] * 40 + [1] * 40)
+    result = validate_features(feats, labels, run_tsne=True)
+    assert result["feature_dim"] == 16
+    assert len(result["pca_explained_variance"]) == 2
+    assert result["logreg_accuracy"] > 0.9
+    assert set(result["pca_class_means"]) == {0, 1}
+    assert set(result["tsne_class_means"]) == {0, 1}
+
+
+def test_feature_plots(tmp_path):
+    from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.features_eval import (
+        plot_logreg_confusion,
+        plot_pca,
+        plot_tsne,
+    )
+
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(30, 8)).astype(np.float32)
+    labels = np.array([0, 1] * 15)
+    plot_pca(feats, labels, str(tmp_path / "pca.png"))
+    plot_tsne(feats, labels, str(tmp_path / "tsne.png"))
+    plot_logreg_confusion(np.array([[5, 1], [2, 7]]), str(tmp_path / "cm.png"))
+    for f in ("pca.png", "tsne.png", "cm.png"):
+        assert os.path.exists(tmp_path / f)
+
+
+def test_softmax_thresholding():
+    import jax.numpy as jnp
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.evaluation import (
+        softmax_thresholding,
+    )
+
+    logits = jnp.asarray([[4.0, 0.0], [0.1, 0.0]])
+    preds, probs, confident = softmax_thresholding(logits, threshold=0.7)
+    assert preds.tolist() == [0, 0]
+    assert bool(confident[0]) is True and bool(confident[1]) is False
+
+
+def test_monte_carlo_dropout_mil():
+    import jax
+    import jax.numpy as jnp
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.evaluation import (
+        monte_carlo_dropout,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.models import (
+        MILClassifier,
+    )
+
+    model = MILClassifier(dropout_rate=0.5)
+    feats = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 6, 16)), jnp.float32
+    )
+    mask = jnp.ones((2, 6), bool)
+    variables = model.init(jax.random.key(0), feats, mask)
+
+    mean, var = monte_carlo_dropout(
+        lambda v, x, **kw: model.apply(v, x, mask, train=True, **kw),
+        variables,
+        feats,
+        jax.random.key(1),
+        n_samples=16,
+    )
+    assert mean.shape == (2, 2) and var.shape == (2, 2)
+    np.testing.assert_allclose(np.asarray(mean).sum(-1), 1.0, rtol=1e-5)
+    assert float(var.max()) > 0.0  # dropout introduces variance

@@ -1,0 +1,153 @@
+"""Inference: feature extraction, sliding-window heatmaps, overlays."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ss25_hierarchical_multiscale_image_classification_tpu.config import DataConfig
+from ss25_hierarchical_multiscale_image_classification_tpu.data import extract_patches
+from ss25_hierarchical_multiscale_image_classification_tpu.data.datasets import (
+    PatchDataset,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.infer.features import (
+    run_feature_extraction,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.infer.overlay import (
+    render_overlay,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
+    nms_detections,
+    predict_slide,
+    write_detection_csv,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.models import (
+    ResNet18Classifier,
+    ResNet18FeatureExtractor,
+)
+
+
+@pytest.fixture(scope="module")
+def small_classifier():
+    model = ResNet18Classifier(dtype=jnp.float32)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    return model, {
+        "params": variables["params"],
+        "batch_stats": variables["batch_stats"],
+    }
+
+
+def test_run_feature_extraction(synthetic_case):
+    data = DataConfig(data_dir=synthetic_case)
+    manifest = extract_patches(data, level=2, stride=112, store_format="packed")
+    ds = PatchDataset(manifest, resize_to=64)
+
+    fx = ResNet18FeatureExtractor(dtype=jnp.float32)
+    variables = fx.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    feats, labels, names = run_feature_extraction(
+        ds, dict(variables), batch_size=8, dtype=jnp.float32
+    )
+    assert feats.shape == (len(ds), 512)
+    assert feats.dtype == np.float32
+    assert len(labels) == len(ds) and len(names) == len(ds)
+    assert names[0].endswith(".png")  # reference naming convention
+    assert np.isfinite(feats).all()
+
+
+def test_predict_slide_grid(synthetic_case, small_classifier):
+    model, variables = small_classifier
+    slide_path = os.path.join(synthetic_case, "train", "img", "tumor_001.wsi.npz")
+    probs, grid = predict_slide(
+        slide_path, variables, level=3, batch_size=8, model=model, input_size=64
+    )
+    assert probs.shape == (grid.ny, grid.nx)
+    assert (probs >= 0).all() and (probs <= 1).all()
+    # the synthetic slide has central tissue → at least one nonzero cell
+    assert probs.max() > 0.0
+
+
+def test_nms_and_csv(tmp_path):
+    from ss25_hierarchical_multiscale_image_classification_tpu.grid.pyramid import (
+        PatchGrid,
+    )
+
+    grid = PatchGrid(level=3, width=896, height=896, downsample=8.0,
+                     patch_size=224, stride=224)
+    probs = np.zeros((4, 4), np.float32)
+    probs[1, 2] = 0.9
+    probs[1, 3] = 0.8  # adjacent → suppressed
+    probs[3, 0] = 0.6
+    dets = nms_detections(probs, grid, threshold=0.5, radius_cells=1)
+    assert len(dets) == 2
+    p0, x0, y0 = dets[0]
+    assert p0 == pytest.approx(0.9)
+    # center of cell (gx=2, gy=1) at level 0: ((2*224+112)*8, (1*224+112)*8)
+    assert (x0, y0) == ((2 * 224 + 112) * 8, (1 * 224 + 112) * 8)
+
+    csv_path = str(tmp_path / "out" / "case.csv")
+    write_detection_csv(csv_path, dets)
+    from ss25_hierarchical_multiscale_image_classification_tpu.evaluation import (
+        read_csv_content,
+    )
+
+    probs_r, xs, ys = read_csv_content(csv_path)
+    assert probs_r[0] == pytest.approx(0.9) and xs[0] == x0 and ys[0] == y0
+
+
+def test_render_overlay(synthetic_case, tmp_path):
+    slide_path = os.path.join(synthetic_case, "train", "img", "tumor_001.wsi.npz")
+    probs = np.random.default_rng(0).random((4, 4)).astype(np.float32)
+    out = render_overlay(
+        slide_path, probs, save_path=str(tmp_path / "overlay.png")
+    )
+    assert out.ndim == 3 and out.shape[2] == 3
+    assert os.path.exists(tmp_path / "overlay.png")
+
+
+def test_full_froc_producer_consumer_loop(synthetic_case, small_classifier, tmp_path):
+    """End-to-end: sliding-window producer → detection CSV → FROC consumer."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.froc import (
+        run_froc_evaluation,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.grid.rasterize import (
+        polygons_to_mask,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
+        predict_and_export,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.annotations import (
+        parse_annotation_xml,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.slide import (
+        open_slide,
+    )
+
+    model, variables = small_classifier
+    slide_path = os.path.join(synthetic_case, "train", "img", "tumor_001.wsi.npz")
+    csv_dir = str(tmp_path / "csv")
+    _probs, csv_path = predict_and_export(
+        slide_path, variables, csv_dir, level=3, threshold=0.0,
+        batch_size=8, model=model, input_size=64,
+    )
+    assert os.path.exists(csv_path)
+
+    # ground-truth mask at eval level 3 (synthetic slide only has 4 levels)
+    mask_dir = str(tmp_path / "masks")
+    os.makedirs(mask_dir)
+    slide = open_slide(slide_path)
+    polys = parse_annotation_xml(
+        os.path.join(synthetic_case, "annotations", "tumor_001.xml")
+    )
+    mask = polygons_to_mask(
+        polys, slide.level_dimensions[3], slide.level_dimensions[0]
+    )
+    np.save(os.path.join(mask_dir, "tumor_001_mask.npy"), mask)
+
+    result = run_froc_evaluation(csv_dir, mask_dir, level=3)
+    assert result["names"] == ["tumor_001"]
+    assert result["num_tumors"][0] >= 0
+    assert "score" in result
