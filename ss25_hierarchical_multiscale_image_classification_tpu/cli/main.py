@@ -1,0 +1,326 @@
+"""Pipeline CLI matching the reference flag surface.
+
+Rebuild of ``main()`` (``src/main.py:1073-1228``): every reference flag is
+preserved (``--download --remote --patch --patch_level --prep --validate
+--train --eval --extract_features --run_evaluation --balance_dataset
+--count_tumor_patches --patch_one_slide --slide --move_files --train_strategy
+--check_good_downloaded_files --strategy``), plus the stage gates
+(images-downloaded / patches-extracted preconditions) and unknown-argument
+rejection. New flags cover rebuilt-only capability: ``--predict_slide`` /
+``--overlay`` (the sliding-window FROC producer the reference lacks),
+``--data_dir`` / ``--models_dir`` to relocate artifacts, and ``--store``
+to pick the PNG-compatible vs packed patch store.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from ss25_hierarchical_multiscale_image_classification_tpu.config import (
+    Config,
+    DataConfig,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.logging_utils import (
+    get_logger,
+)
+
+log = get_logger("cli")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="hipac-tpu", description="Camelyon Dataset Processing (TPU-native)"
+    )
+    # --- reference flag surface (src/main.py:1074-1093) ---
+    parser.add_argument("--download", action="store_true",
+                        help="Download CAMELYON16 dataset")
+    parser.add_argument("--remote", action="store_true",
+                        help="Download the full dataset (not the 1-per-class subset)")
+    parser.add_argument("-p", "--patch", action="store_true",
+                        help="Extract patches")
+    parser.add_argument("--patch_level", type=str, default="3",
+                        help="WSI level for patch extraction (0-3 or 'all')")
+    parser.add_argument("-prep", "--prepare", action="store_true",
+                        help="Prepare data (extract annotation zips)")
+    parser.add_argument("-val", "--validation", action="store_true",
+                        help="Create validation set (slide-level split is "
+                             "computed on the fly; kept for flag parity)")
+    parser.add_argument("--validate", action="store_true",
+                        help="Validate extracted patch features (sanity check)")
+    parser.add_argument("-train", "--train", action="store_true",
+                        help="Train ResNet model (weighted loss, 30 epochs)")
+    parser.add_argument("-eval", "--evaluate", action="store_true",
+                        help="Evaluate ResNet model on the validation split")
+    parser.add_argument("--extract_features", action="store_true",
+                        help="Extract features from patches")
+    parser.add_argument("--run_evaluation", action="store_true",
+                        help="Run the official CAMELYON16 FROC evaluation")
+    parser.add_argument("--balance_dataset", action="store_true",
+                        help="Download tumor slides and extract tumor patches")
+    parser.add_argument("--count_tumor_patches", action="store_true",
+                        help="Per-level tumor/normal patch census")
+    parser.add_argument("--patch_one_slide", type=str, default=None,
+                        help="Extract patches from a single slide (e.g. tumor_109)")
+    parser.add_argument("--slide", type=str, default=None,
+                        help="Slide name for single-slide operations")
+    parser.add_argument("--move_files", action="store_true",
+                        help="Flatten nested tumor/ patch directories")
+    parser.add_argument("--train_strategy", action="store_true",
+                        help="Train with a specific strategy")
+    parser.add_argument("--check_good_downloaded_files", action="store_true",
+                        help="Scan patch stores for corruption")
+    parser.add_argument("--strategy", type=str, default="self_supervised",
+                        choices=["balanced", "weighted_loss", "self_supervised"],
+                        help="Training strategy")
+    # --- rebuilt-only capability ---
+    parser.add_argument("--predict_slide", type=str, default=None,
+                        help="Sliding-window inference on one slide: writes "
+                             "the detection CSV (FROC producer)")
+    parser.add_argument("--overlay", action="store_true",
+                        help="With --predict_slide: save the tumor heatmap "
+                             "overlay at the coarsest level")
+    parser.add_argument("--simclr_features", action="store_true",
+                        help="With --extract_features: use the SimCLR encoder")
+    parser.add_argument("--epochs", type=int, default=None,
+                        help="Override epoch count")
+    parser.add_argument("--batch_size", type=int, default=None,
+                        help="Override global batch size (default 512)")
+    parser.add_argument("--data_dir", type=str, default=None,
+                        help="Data root (default: ./data/camelyon16)")
+    parser.add_argument("--models_dir", type=str, default=None,
+                        help="Model artifact dir (default: ./models_out)")
+    parser.add_argument("--store", type=str, default=None,
+                        choices=["png", "packed"],
+                        help="Patch store format")
+    return parser
+
+
+def _reject_unknown_args(parser: argparse.ArgumentParser, argv) -> None:
+    """Unknown-argument rejection (``src/main.py:1095-1100``)."""
+    known = {a.dest for a in parser._actions}
+    for a in parser._actions:
+        known.update(s.lstrip("-").replace("-", "_") for s in a.option_strings)
+    given = {
+        arg.split("=")[0].lstrip("-").replace("-", "_")
+        for arg in argv
+        if arg.startswith("-")
+    }
+    unknown = given - known
+    if unknown:
+        log.error("Unknown command line arguments: %s", ", ".join(sorted(unknown)))
+        sys.exit(1)
+
+
+def _config_from_args(args) -> Config:
+    cfg = Config()
+    data_dir = args.data_dir or os.path.join(os.getcwd(), "data", "camelyon16")
+    cfg = cfg.replace(data=DataConfig(data_dir=data_dir))
+    if args.store:
+        cfg.data.patch_store_format = args.store
+    if args.models_dir:
+        cfg = cfg.replace(models_dir=args.models_dir)
+    if args.batch_size:
+        cfg.train.batch_size = args.batch_size
+        cfg.simclr.batch_size = args.batch_size
+    return cfg
+
+
+def _levels(patch_level: str) -> list[int]:
+    return [0, 1, 2, 3] if patch_level == "all" else [int(patch_level)]
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    parser = build_parser()
+    _reject_unknown_args(parser, argv)
+    args = parser.parse_args(argv)
+    cfg = _config_from_args(args)
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.download import (
+        download_all_tumor_extract_patches,
+        download_dataset,
+        images_downloaded,
+        patches_extracted,
+        prepare_data,
+    )
+
+    if args.check_good_downloaded_files:
+        from ss25_hierarchical_multiscale_image_classification_tpu.utils.structure import (
+            check_good_files,
+        )
+
+        log.info("Checking downloaded files for corruption...")
+        check_good_files(cfg.data.patches_dir)
+        return 0
+
+    if args.download:
+        download_dataset(cfg.data, remote=args.remote)
+
+    if args.move_files:
+        from ss25_hierarchical_multiscale_image_classification_tpu.utils.structure import (
+            move_files_up,
+        )
+
+        move_files_up(cfg.data.patch_level_dir(3))
+
+    if args.patch:
+        if not images_downloaded(cfg.data):
+            log.error("Images must be downloaded before extracting patches.")
+            return 1
+        from ss25_hierarchical_multiscale_image_classification_tpu.data.extract import (
+            extract_patches,
+        )
+
+        for lvl in _levels(args.patch_level):
+            extract_patches(
+                cfg.data, level=lvl, store_format=cfg.data.patch_store_format
+            )
+
+    if args.extract_features:
+        for lvl in _levels(args.patch_level):
+            if not patches_extracted(cfg.data, lvl):
+                log.error(
+                    "Patches must be extracted at level %d before features.", lvl
+                )
+                return 1
+        level = 3 if args.patch_level == "all" else int(args.patch_level)
+        if args.simclr_features:
+            from ss25_hierarchical_multiscale_image_classification_tpu.infer.features import (
+                extract_features_with_simclr,
+            )
+
+            extract_features_with_simclr(cfg, level=level)
+        else:
+            from ss25_hierarchical_multiscale_image_classification_tpu.infer.features import (
+                extract_features,
+            )
+
+            extract_features(cfg, level=level)
+
+    if args.train:
+        if not images_downloaded(cfg.data):
+            log.error("Images must be downloaded before training.")
+            return 1
+        level = int(args.patch_level) if args.patch_level != "all" else 3
+        if not patches_extracted(cfg.data, level):
+            log.error("Patches must be extracted before training.")
+            return 1
+        from ss25_hierarchical_multiscale_image_classification_tpu.train.trainer import (
+            train_resnet_classifier,
+        )
+
+        train_resnet_classifier(cfg, level=level, epochs=args.epochs)
+
+    if args.train_strategy:
+        if not images_downloaded(cfg.data):
+            log.error("Images must be downloaded before training.")
+            return 1
+        level = int(args.patch_level) if args.patch_level != "all" else 3
+        if not patches_extracted(cfg.data, level):
+            log.error("Patches must be extracted before training.")
+            return 1
+        from ss25_hierarchical_multiscale_image_classification_tpu.train.trainer import (
+            train_resnet_classifier_strategic,
+        )
+
+        train_resnet_classifier_strategic(
+            cfg, level=level, strategy=args.strategy, epochs=args.epochs
+        )
+
+    if args.prepare:
+        prepare_data(cfg.data)
+
+    if args.validate:
+        level = int(args.patch_level) if args.patch_level != "all" else 3
+        from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.features_eval import (
+            validate_features,
+        )
+        from ss25_hierarchical_multiscale_image_classification_tpu.infer.features import (
+            load_feature_artifacts,
+        )
+
+        feats, labels, _ = load_feature_artifacts(cfg.data.features_dir, level)
+        validate_features(feats, labels)
+
+    if args.evaluate:
+        level = int(args.patch_level) if args.patch_level != "all" else 3
+        from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.classifier_eval import (
+            evaluate_resnet_classifier,
+        )
+
+        evaluate_resnet_classifier(cfg, level=level)
+
+    if args.balance_dataset:
+        download_all_tumor_extract_patches(cfg.data)
+
+    if args.count_tumor_patches:
+        from ss25_hierarchical_multiscale_image_classification_tpu.utils.structure import (
+            count_tumor_patches,
+        )
+
+        count_tumor_patches(cfg.data.patches_dir)
+
+    if args.patch_one_slide:
+        from ss25_hierarchical_multiscale_image_classification_tpu.data.extract import (
+            extract_patches,
+        )
+
+        level = int(args.patch_level) if args.patch_level != "all" else 3
+        extract_patches(
+            cfg.data, level=level, slide_filter=[args.patch_one_slide]
+        )
+
+    if args.predict_slide:
+        from ss25_hierarchical_multiscale_image_classification_tpu.infer.overlay import (
+            render_overlay,
+        )
+        from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
+            predict_and_export,
+        )
+        from ss25_hierarchical_multiscale_image_classification_tpu.train.checkpoints import (
+            load_model,
+        )
+
+        level = int(args.patch_level) if args.patch_level != "all" else 3
+        model_path = os.path.join(cfg.models_dir, "resnet18_patch_classifier")
+        variables = load_model(model_path)
+        csv_dir = os.path.join(cfg.models_dir, "model_predictions_csv")
+        prob_grid, _csv = predict_and_export(
+            args.predict_slide, variables, csv_dir, level=level
+        )
+        if args.overlay:
+            out = os.path.join(
+                cfg.models_dir,
+                "overlays",
+                os.path.basename(args.predict_slide) + ".overlay.png",
+            )
+            render_overlay(args.predict_slide, prob_grid, save_path=out)
+            log.info("Overlay saved: %s", out)
+
+    if args.run_evaluation:
+        log.info("Running CAMELYON16 evaluation script.")
+        mask_dir = os.path.join(cfg.data.data_dir, "test", "mask")
+        csv_dir = os.path.join(cfg.models_dir, "model_predictions_csv")
+        if not os.path.exists(mask_dir):
+            log.error("Evaluation mask folder '%s' not found.", mask_dir)
+            return 1
+        if not os.path.exists(csv_dir):
+            log.error("Model results folder '%s' not found.", csv_dir)
+            return 1
+        from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.froc import (
+            run_froc_evaluation,
+        )
+
+        run_froc_evaluation(
+            csv_dir,
+            mask_dir,
+            plot_path=os.path.join(cfg.models_dir, "froc_curve.png"),
+        )
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -51,12 +51,16 @@ FROC_ITC_THRESHOLD_UM: float = 275.0
 
 #: CAMELYON16 download source (reference ``src/main.py:53``).
 CAMELYON16_BASE_URL: str = (
-    "https://gigadb-datasets.s3.ap-southeast-1.amazonaws.com/live/pub/"
-    "10.5524/100001_101000/100439/CAMELYON16/"
+    "https://s3.ap-northeast-1.wasabisys.com/gigadb-datasets/live/pub/"
+    "10.5524/100001_101000/100439/"
 )
 
-#: Subset download limits (reference ``src/main.py:138,148-149``).
-SUBSET_LIMITS: dict[str, int] = {"normal": 50, "tumor": 110, "test": 30}
+#: Subset download limits (reference ``src/main.py:138-149``).
+SUBSET_LIMITS: dict[str, int] = {
+    "train_normal": 50,
+    "train_tumor": 110,
+    "test_images": 30,
+}
 
 
 # ---------------------------------------------------------------------------

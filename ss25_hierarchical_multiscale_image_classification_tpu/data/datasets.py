@@ -208,7 +208,9 @@ class BatchIterator:
             valid = np.ones((bs,), np.float32)
             if len(idx) < bs:
                 valid[len(idx):] = 0.0
-                idx = np.concatenate([idx, order[: bs - len(idx)]])
+                # wrap-pad (tiling as needed for datasets smaller than a batch)
+                pad = np.resize(order, bs - len(idx))
+                idx = np.concatenate([idx, pad])
             imgs, labels = self.dataset.read_batch(idx)
             yield imgs, labels.astype(np.int32), valid
 

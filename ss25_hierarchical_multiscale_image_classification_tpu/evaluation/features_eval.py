@@ -56,10 +56,11 @@ def validate_features(
     result["pca_coords"] = pca_coords
     log.info("PCA explained variance: %s", result["pca_explained_variance"])
 
-    if run_tsne:
+    if run_tsne and len(features) >= 5:
         from sklearn.manifold import TSNE
 
-        perplexity = min(tsne_perplexity, max(2.0, len(features) / 4 - 1))
+        # sklearn requires perplexity < n_samples
+        perplexity = min(tsne_perplexity, (len(features) - 1) / 3.0)
         tsne_coords = TSNE(
             n_components=2, perplexity=perplexity, random_state=seed
         ).fit_transform(features)
@@ -115,7 +116,7 @@ def plot_tsne(features, labels, save_path: str, perplexity: float = 30.0,
               seed: int = 42) -> None:
     from sklearn.manifold import TSNE
 
-    perplexity = min(perplexity, max(2.0, len(features) / 4 - 1))
+    perplexity = min(perplexity, (len(features) - 1) / 3.0)
     coords = TSNE(n_components=2, perplexity=perplexity,
                   random_state=seed).fit_transform(features)
     _scatter(coords, np.asarray(labels), "t-SNE of patch features", save_path)

@@ -1,0 +1,347 @@
+// HiPAC-TPU native tile decoder.
+//
+// Host-side replacement for the reference's OpenSlide dependency
+// (reference src/main.py:27,650): a libtiff-based pyramidal (Big)TIFF
+// reader with a multithreaded batch region API, plus a tiled pyramidal
+// TIFF writer used to fabricate hermetic test fixtures.
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in the image).
+//
+// Threading model: libtiff handles are not thread-safe, so the decoder
+// opens one TIFF* per worker thread (lazily) and the batch API shards
+// regions across workers — the C++ analogue of the reference's OpenMP
+// chunk pipeline (src/preprocessing/parallel-prog/chunk-based-proc.cpp),
+// applied to the real bottleneck: tile decode feeding the TPU input
+// pipeline.
+
+#include <tiffio.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct LevelInfo {
+  uint32_t width = 0;
+  uint32_t height = 0;
+  uint32_t tile_width = 0;
+  uint32_t tile_height = 0;
+  bool tiled = false;
+  uint16_t dir_index = 0;
+};
+
+struct Handle {
+  std::string path;
+  std::vector<LevelInfo> levels;
+  // one TIFF* per worker thread, created on demand
+  std::vector<TIFF*> tiffs;
+  std::mutex pool_mutex;
+
+  ~Handle() {
+    for (TIFF* t : tiffs)
+      if (t) TIFFClose(t);
+  }
+};
+
+thread_local char g_err[512] = {0};
+
+void set_err(const std::string& msg) {
+  std::snprintf(g_err, sizeof(g_err), "%s", msg.c_str());
+}
+
+TIFF* open_tiff(const std::string& path) {
+  // "m" disables memory mapping (large slides), "8" enables BigTIFF reads
+  return TIFFOpen(path.c_str(), "rm");
+}
+
+bool scan_levels(TIFF* tif, std::vector<LevelInfo>* levels) {
+  levels->clear();
+  uint16_t dir = 0;
+  do {
+    LevelInfo info;
+    info.dir_index = dir;
+    if (!TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &info.width) ||
+        !TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &info.height)) {
+      return false;
+    }
+    info.tiled = TIFFIsTiled(tif) != 0;
+    if (info.tiled) {
+      TIFFGetField(tif, TIFFTAG_TILEWIDTH, &info.tile_width);
+      TIFFGetField(tif, TIFFTAG_TILELENGTH, &info.tile_height);
+    }
+    levels->push_back(info);
+    ++dir;
+  } while (TIFFReadDirectory(tif));
+  // Pyramid convention: directories ordered largest-first. Keep only the
+  // monotonically shrinking prefix chain (skips e.g. embedded thumbnails
+  // with unrelated dims interleaved by some scanners).
+  std::vector<LevelInfo> pyramid;
+  for (const auto& lv : *levels) {
+    if (pyramid.empty() ||
+        (lv.width <= pyramid.back().width && lv.height <= pyramid.back().height)) {
+      pyramid.push_back(lv);
+    }
+  }
+  *levels = pyramid;
+  return !levels->empty();
+}
+
+// Fetch a worker-slot TIFF handle (slot < tiffs.size()).
+TIFF* slot_tiff(Handle* h, size_t slot) {
+  {
+    std::lock_guard<std::mutex> lock(h->pool_mutex);
+    if (slot >= h->tiffs.size()) h->tiffs.resize(slot + 1, nullptr);
+    if (h->tiffs[slot]) return h->tiffs[slot];
+  }
+  TIFF* t = open_tiff(h->path);
+  if (!t) return nullptr;
+  std::lock_guard<std::mutex> lock(h->pool_mutex);
+  if (h->tiffs[slot]) {  // lost a race; keep the winner
+    TIFFClose(t);
+  } else {
+    h->tiffs[slot] = t;
+  }
+  return h->tiffs[slot];
+}
+
+// Decode one region of one level into out (h x w x 3, RGB, row-major).
+// (x, y) are LEVEL-space pixel coordinates of the top-left corner.
+// Out-of-bounds area is filled white (the extraction pipeline's pad value,
+// reference src/main.py:700-703).
+bool read_region_level(TIFF* tif, const LevelInfo& lv, int64_t x, int64_t y,
+                       int64_t w, int64_t h, uint8_t* out) {
+  if (!TIFFSetDirectory(tif, lv.dir_index)) {
+    set_err("TIFFSetDirectory failed");
+    return false;
+  }
+  std::memset(out, 255, static_cast<size_t>(w) * h * 3);
+
+  const int64_t x0 = std::max<int64_t>(x, 0);
+  const int64_t y0 = std::max<int64_t>(y, 0);
+  const int64_t x1 = std::min<int64_t>(x + w, lv.width);
+  const int64_t y1 = std::min<int64_t>(y + h, lv.height);
+  if (x0 >= x1 || y0 >= y1) return true;  // fully outside: stays white
+
+  if (lv.tiled) {
+    const int64_t tw = lv.tile_width, th = lv.tile_height;
+    std::vector<uint32_t> tile(static_cast<size_t>(tw) * th);
+    for (int64_t ty = (y0 / th) * th; ty < y1; ty += th) {
+      for (int64_t tx = (x0 / tw) * tw; tx < x1; tx += tw) {
+        // RGBA tile decode handles JPEG/YCbCr photometrics uniformly
+        if (!TIFFReadRGBATile(tif, static_cast<uint32_t>(tx),
+                              static_cast<uint32_t>(ty), tile.data())) {
+          set_err("TIFFReadRGBATile failed");
+          return false;
+        }
+        const int64_t cx0 = std::max(tx, x0), cx1 = std::min(tx + tw, x1);
+        const int64_t cy0 = std::max(ty, y0), cy1 = std::min(ty + th, y1);
+        for (int64_t yy = cy0; yy < cy1; ++yy) {
+          // TIFFReadRGBATile returns bottom-up rows
+          const uint32_t* src_row = tile.data() + (th - 1 - (yy - ty)) * tw;
+          uint8_t* dst = out + ((yy - y) * w + (cx0 - x)) * 3;
+          for (int64_t xx = cx0; xx < cx1; ++xx) {
+            const uint32_t px = src_row[xx - tx];
+            *dst++ = static_cast<uint8_t>(TIFFGetR(px));
+            *dst++ = static_cast<uint8_t>(TIFFGetG(px));
+            *dst++ = static_cast<uint8_t>(TIFFGetB(px));
+          }
+        }
+      }
+    }
+  } else {
+    // strip-organized level: decode overlapping rows via RGBA strips
+    uint32_t rows_per_strip = 0;
+    TIFFGetFieldDefaulted(tif, TIFFTAG_ROWSPERSTRIP, &rows_per_strip);
+    if (rows_per_strip == 0) rows_per_strip = lv.height;
+    std::vector<uint32_t> strip(static_cast<size_t>(lv.width) * rows_per_strip);
+    for (int64_t sy = (y0 / rows_per_strip) * rows_per_strip; sy < y1;
+         sy += rows_per_strip) {
+      const int64_t rows =
+          std::min<int64_t>(rows_per_strip, lv.height - sy);
+      if (!TIFFReadRGBAStrip(tif, static_cast<uint32_t>(sy), strip.data())) {
+        set_err("TIFFReadRGBAStrip failed");
+        return false;
+      }
+      const int64_t cy0 = std::max(sy, y0), cy1 = std::min(sy + rows, y1);
+      for (int64_t yy = cy0; yy < cy1; ++yy) {
+        const uint32_t* src_row = strip.data() + (rows - 1 - (yy - sy)) * lv.width;
+        uint8_t* dst = out + ((yy - y) * w + (x0 - x)) * 3;
+        for (int64_t xx = x0; xx < x1; ++xx) {
+          const uint32_t px = src_row[xx];
+          *dst++ = static_cast<uint8_t>(TIFFGetR(px));
+          *dst++ = static_cast<uint8_t>(TIFFGetG(px));
+          *dst++ = static_cast<uint8_t>(TIFFGetB(px));
+        }
+      }
+    }
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+const char* hipac_last_error() { return g_err; }
+
+void* hipac_open(const char* path) {
+  TIFFSetWarningHandler(nullptr);  // silence unknown-tag chatter
+  auto h = new Handle();
+  h->path = path;
+  TIFF* tif = open_tiff(h->path);
+  if (!tif) {
+    set_err("cannot open TIFF: " + h->path);
+    delete h;
+    return nullptr;
+  }
+  if (!scan_levels(tif, &h->levels)) {
+    set_err("no readable directories in " + h->path);
+    TIFFClose(tif);
+    delete h;
+    return nullptr;
+  }
+  h->tiffs.push_back(tif);  // slot 0
+  return h;
+}
+
+void hipac_close(void* handle) { delete static_cast<Handle*>(handle); }
+
+int hipac_level_count(void* handle) {
+  return static_cast<int>(static_cast<Handle*>(handle)->levels.size());
+}
+
+int hipac_level_dims(void* handle, int level, int64_t* w, int64_t* hh) {
+  auto* h = static_cast<Handle*>(handle);
+  if (level < 0 || level >= static_cast<int>(h->levels.size())) return -1;
+  *w = h->levels[level].width;
+  *hh = h->levels[level].height;
+  return 0;
+}
+
+// Read one region; (x, y) in LEVEL coordinates. out: h*w*3 bytes.
+int hipac_read_region(void* handle, int level, int64_t x, int64_t y,
+                      int64_t w, int64_t hh, uint8_t* out) {
+  auto* h = static_cast<Handle*>(handle);
+  if (level < 0 || level >= static_cast<int>(h->levels.size())) {
+    set_err("bad level");
+    return -1;
+  }
+  TIFF* tif = slot_tiff(h, 0);
+  if (!tif) {
+    set_err("cannot open worker TIFF handle");
+    return -1;
+  }
+  std::lock_guard<std::mutex> lock(h->pool_mutex);
+  return read_region_level(tif, h->levels[level], x, y, w, hh, out) ? 0 : -1;
+}
+
+// Batch region read sharded over worker threads.
+// coords: n pairs of (x, y) level coordinates; out: n contiguous h*w*3
+// regions. Returns 0 on full success, else the number of failed regions.
+int hipac_read_regions(void* handle, int level, const int64_t* coords,
+                       int64_t n, int64_t w, int64_t hh, uint8_t* out,
+                       int num_threads) {
+  auto* h = static_cast<Handle*>(handle);
+  if (level < 0 || level >= static_cast<int>(h->levels.size())) {
+    set_err("bad level");
+    return -1;
+  }
+  const LevelInfo lv = h->levels[level];
+  const size_t region_bytes = static_cast<size_t>(w) * hh * 3;
+  int workers = num_threads > 0
+                    ? num_threads
+                    : static_cast<int>(std::thread::hardware_concurrency());
+  workers = std::max(1, std::min<int>(workers, 16));
+  workers = static_cast<int>(std::min<int64_t>(workers, n));
+
+  std::atomic<int64_t> next(0);
+  std::atomic<int> failures(0);
+
+  auto work = [&](int slot) {
+    TIFF* tif = slot_tiff(h, static_cast<size_t>(slot));
+    if (!tif) {
+      failures.fetch_add(1);
+      return;
+    }
+    for (;;) {
+      const int64_t i = next.fetch_add(1);
+      if (i >= n) break;
+      if (!read_region_level(tif, lv, coords[2 * i], coords[2 * i + 1], w, hh,
+                             out + i * region_bytes)) {
+        failures.fetch_add(1);
+      }
+    }
+  };
+
+  if (workers == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(workers);
+    for (int t = 0; t < workers; ++t) threads.emplace_back(work, t);
+    for (auto& t : threads) t.join();
+  }
+  return failures.load();
+}
+
+// Write a tiled pyramidal TIFF (fixture generator / interop artifact).
+// levels: n_levels pointers to RGB uint8 buffers of ws[i] x hs[i].
+int hipac_write_pyramid(const char* path, const uint8_t** levels,
+                        const int64_t* ws, const int64_t* hs, int n_levels,
+                        int tile_size, int use_deflate) {
+  TIFF* tif = TIFFOpen(path, "w8");  // BigTIFF
+  if (!tif) {
+    set_err(std::string("cannot create TIFF: ") + path);
+    return -1;
+  }
+  std::vector<uint8_t> tile(static_cast<size_t>(tile_size) * tile_size * 3);
+  for (int lvl = 0; lvl < n_levels; ++lvl) {
+    const int64_t w = ws[lvl], hgt = hs[lvl];
+    TIFFSetField(tif, TIFFTAG_IMAGEWIDTH, static_cast<uint32_t>(w));
+    TIFFSetField(tif, TIFFTAG_IMAGELENGTH, static_cast<uint32_t>(hgt));
+    TIFFSetField(tif, TIFFTAG_SAMPLESPERPIXEL, 3);
+    TIFFSetField(tif, TIFFTAG_BITSPERSAMPLE, 8);
+    TIFFSetField(tif, TIFFTAG_ORIENTATION, ORIENTATION_TOPLEFT);
+    TIFFSetField(tif, TIFFTAG_PLANARCONFIG, PLANARCONFIG_CONTIG);
+    TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
+    TIFFSetField(tif, TIFFTAG_COMPRESSION,
+                 use_deflate ? COMPRESSION_ADOBE_DEFLATE : COMPRESSION_NONE);
+    TIFFSetField(tif, TIFFTAG_TILEWIDTH, static_cast<uint32_t>(tile_size));
+    TIFFSetField(tif, TIFFTAG_TILELENGTH, static_cast<uint32_t>(tile_size));
+    if (lvl > 0) TIFFSetField(tif, TIFFTAG_SUBFILETYPE, FILETYPE_REDUCEDIMAGE);
+
+    for (int64_t ty = 0; ty < hgt; ty += tile_size) {
+      for (int64_t tx = 0; tx < w; tx += tile_size) {
+        std::memset(tile.data(), 255, tile.size());
+        const int64_t cw = std::min<int64_t>(tile_size, w - tx);
+        const int64_t ch = std::min<int64_t>(tile_size, hgt - ty);
+        for (int64_t yy = 0; yy < ch; ++yy) {
+          std::memcpy(tile.data() + (yy * tile_size) * 3,
+                      levels[lvl] + ((ty + yy) * w + tx) * 3,
+                      static_cast<size_t>(cw) * 3);
+        }
+        if (TIFFWriteTile(tif, tile.data(), static_cast<uint32_t>(tx),
+                          static_cast<uint32_t>(ty), 0, 0) < 0) {
+          set_err("TIFFWriteTile failed");
+          TIFFClose(tif);
+          return -1;
+        }
+      }
+    }
+    if (!TIFFWriteDirectory(tif)) {
+      set_err("TIFFWriteDirectory failed");
+      TIFFClose(tif);
+      return -1;
+    }
+  }
+  TIFFClose(tif);
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,192 @@
+"""ctypes bindings for the native host runtime (lazy-built).
+
+Builds ``libhipac_native.so`` (libtiff tile decoder + OpenMP chunk
+processor) with ``make`` on first use and caches the handle. All entry
+points gate cleanly: callers fall back to pure-Python paths when the
+toolchain or libtiff is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from ss25_hierarchical_multiscale_image_classification_tpu.logging_utils import (
+    get_logger,
+)
+
+log = get_logger("io.native")
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libhipac_native.so")
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_build_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR],
+            check=True,
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        return True
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired, OSError) as e:
+        detail = getattr(e, "stderr", "") or str(e)
+        log.warning("native build failed (pure-Python fallback active): %s", detail)
+        return False
+
+
+def get_lib() -> ctypes.CDLL | None:
+    """The loaded native library, building it on first call; None if the
+    native path is unavailable."""
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not os.path.exists(_LIB_PATH) and not _build():
+            _build_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError as e:
+            log.warning("cannot load native lib: %s", e)
+            _build_failed = True
+            return None
+        _configure(lib)
+        _lib = lib
+        return _lib
+
+
+def _configure(lib: ctypes.CDLL) -> None:
+    c = ctypes
+    lib.hipac_last_error.restype = c.c_char_p
+    lib.hipac_open.argtypes = [c.c_char_p]
+    lib.hipac_open.restype = c.c_void_p
+    lib.hipac_close.argtypes = [c.c_void_p]
+    lib.hipac_level_count.argtypes = [c.c_void_p]
+    lib.hipac_level_count.restype = c.c_int
+    lib.hipac_level_dims.argtypes = [
+        c.c_void_p, c.c_int, c.POINTER(c.c_int64), c.POINTER(c.c_int64)
+    ]
+    lib.hipac_level_dims.restype = c.c_int
+    lib.hipac_read_region.argtypes = [
+        c.c_void_p, c.c_int, c.c_int64, c.c_int64, c.c_int64, c.c_int64,
+        c.POINTER(c.c_uint8),
+    ]
+    lib.hipac_read_region.restype = c.c_int
+    lib.hipac_read_regions.argtypes = [
+        c.c_void_p, c.c_int, c.POINTER(c.c_int64), c.c_int64, c.c_int64,
+        c.c_int64, c.POINTER(c.c_uint8), c.c_int,
+    ]
+    lib.hipac_read_regions.restype = c.c_int
+    lib.hipac_write_pyramid.argtypes = [
+        c.c_char_p, c.POINTER(c.POINTER(c.c_uint8)), c.POINTER(c.c_int64),
+        c.POINTER(c.c_int64), c.c_int, c.c_int, c.c_int,
+    ]
+    lib.hipac_write_pyramid.restype = c.c_int
+    lib.hipac_patch_means.argtypes = [
+        c.POINTER(c.c_uint8), c.c_int64, c.c_int64, c.POINTER(c.c_float)
+    ]
+    lib.hipac_patchify.argtypes = [
+        c.POINTER(c.c_uint8), c.c_int64, c.c_int64, c.c_int64,
+        c.POINTER(c.c_uint8), c.POINTER(c.c_int64),
+    ]
+    lib.hipac_patchify.restype = c.c_int64
+    lib.hipac_gather_rows.argtypes = [
+        c.POINTER(c.c_uint8), c.POINTER(c.c_int64), c.c_int64, c.c_int64,
+        c.POINTER(c.c_uint8),
+    ]
+    lib.hipac_omp_max_threads.restype = ctypes.c_int
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def last_error() -> str:
+    lib = get_lib()
+    if lib is None:
+        return "native lib unavailable"
+    return (lib.hipac_last_error() or b"").decode()
+
+
+# ---------------------------------------------------------------------------
+# High-level numpy wrappers (chunk processor)
+# ---------------------------------------------------------------------------
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i64ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def patch_means(patches: np.ndarray) -> np.ndarray:
+    """(N, ...) uint8 → (N,) float32 per-patch means (tissue statistic);
+    numpy fallback when the native lib is missing."""
+    patches = np.ascontiguousarray(patches, np.uint8)
+    n = patches.shape[0]
+    per = int(np.prod(patches.shape[1:]))
+    lib = get_lib()
+    if lib is None:
+        return patches.reshape(n, -1).mean(axis=1, dtype=np.float64).astype(np.float32)
+    out = np.empty((n,), np.float32)
+    lib.hipac_patch_means(
+        _u8ptr(patches), n, per, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    )
+    return out
+
+
+def patchify(plane: np.ndarray, patch_size: int) -> tuple[np.ndarray, np.ndarray]:
+    """(H, W, 3) uint8 → ((N, P, P, 3) patches, (N, 2) level coords) in
+    reference x-major order, white pad-to-grid."""
+    plane = np.ascontiguousarray(plane, np.uint8)
+    h, w = plane.shape[:2]
+    nx = -(-w // patch_size)
+    ny = -(-h // patch_size)
+    n = nx * ny
+    lib = get_lib()
+    patches = np.empty((n, patch_size, patch_size, 3), np.uint8)
+    coords = np.empty((n, 2), np.int64)
+    if lib is None:
+        from ss25_hierarchical_multiscale_image_classification_tpu.data.extract import (
+            _vectorized_patches,
+        )
+        from ss25_hierarchical_multiscale_image_classification_tpu.grid.pyramid import (
+            PatchGrid,
+        )
+
+        grid = PatchGrid(level=0, width=w, height=h, downsample=1.0,
+                         patch_size=patch_size, stride=patch_size)
+        p, c = _vectorized_patches(plane, grid)
+        return p, c.astype(np.int64)
+    count = lib.hipac_patchify(
+        _u8ptr(plane), w, h, patch_size, _u8ptr(patches), _i64ptr(coords)
+    )
+    return patches[:count], coords[:count]
+
+
+def gather_rows(store: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Packed-store batch gather: (N, P, P, 3)[indices] with OpenMP."""
+    store = np.ascontiguousarray(store, np.uint8)
+    indices = np.ascontiguousarray(indices, np.int64)
+    lib = get_lib()
+    if lib is None:
+        return store[indices].copy()
+    per = int(np.prod(store.shape[1:]))
+    out = np.empty((len(indices),) + store.shape[1:], np.uint8)
+    lib.hipac_gather_rows(_u8ptr(store), _i64ptr(indices), len(indices), per,
+                          _u8ptr(out))
+    return out

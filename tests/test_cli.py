@@ -1,0 +1,83 @@
+"""CLI flag surface and end-to-end pipeline dispatch."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from ss25_hierarchical_multiscale_image_classification_tpu.cli.main import (
+    build_parser,
+    main,
+)
+
+
+def test_flag_surface_matches_reference():
+    """Every reference flag must parse (src/main.py:1074-1093)."""
+    parser = build_parser()
+    args = parser.parse_args(
+        [
+            "--download", "--remote", "--patch", "--patch_level", "all",
+            "--prepare", "--validation", "--validate", "--train",
+            "--evaluate", "--extract_features", "--run_evaluation",
+            "--balance_dataset", "--count_tumor_patches",
+            "--patch_one_slide", "tumor_109", "--slide", "tumor_109",
+            "--move_files", "--train_strategy",
+            "--check_good_downloaded_files", "--strategy", "balanced",
+        ]
+    )
+    assert args.patch_level == "all"
+    assert args.strategy == "balanced"
+    # short aliases
+    args = parser.parse_args(["-p", "-prep", "-val", "-train", "-eval"])
+    assert args.patch and args.prepare and args.validation
+    assert args.train and args.evaluate
+
+
+def test_unknown_argument_rejected(capsys):
+    with pytest.raises(SystemExit) as exc:
+        main(["--definitely_not_a_flag"])
+    assert exc.value.code == 1
+
+
+def test_patch_requires_download_gate(tmp_path):
+    rc = main(["--patch", "--data_dir", str(tmp_path / "empty")])
+    assert rc == 1
+
+
+@pytest.fixture()
+def pipeline_case(synthetic_case, tmp_path):
+    """Copy the synthetic case so CLI runs don't pollute the session fixture."""
+    root = str(tmp_path / "camelyon16")
+    shutil.copytree(synthetic_case, root, ignore=shutil.ignore_patterns("patches"))
+    patches = os.path.join(root, "patches")
+    if os.path.isdir(patches):
+        shutil.rmtree(patches)
+    return root
+
+
+def test_cli_full_pipeline(pipeline_case, tmp_path):
+    """--patch → --train (1 epoch) → --extract_features → --validate →
+    --eval all through the CLI."""
+    models_dir = str(tmp_path / "models_out")
+    common = ["--data_dir", pipeline_case, "--models_dir", models_dir,
+              "--patch_level", "2", "--batch_size", "8"]
+
+    assert main(["--patch"] + common) == 0
+    manifest = os.path.join(
+        pipeline_case, "patches", "level_2", "manifest.parquet"
+    )
+    assert os.path.exists(manifest)
+
+    assert main(["--train", "--epochs", "1"] + common) == 0
+    assert os.path.exists(os.path.join(models_dir, "resnet18_patch_classifier"))
+
+    assert main(["--extract_features"] + common) == 0
+    feats = np.load(
+        os.path.join(pipeline_case, "features", "patch_features_2.npy")
+    )
+    assert feats.shape[1] == 512
+
+    assert main(["--validate"] + common) == 0
+    assert main(["--evaluate"] + common) == 0
+    assert main(["--count_tumor_patches"] + common) == 0

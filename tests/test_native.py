@@ -1,0 +1,163 @@
+"""Native C++ runtime: TIFF round-trip, batch reads, chunk processor."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ss25_hierarchical_multiscale_image_classification_tpu.io import native_lib
+
+pytestmark = pytest.mark.skipif(
+    not native_lib.native_available(), reason="native toolchain unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def tiff_case(tmp_path_factory):
+    """Synthetic pyramid written as a real tiled BigTIFF."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.synthetic import (
+        build_pyramid,
+        make_level0,
+        tumor_spec,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.tiff_slide import (
+        write_pyramidal_tiff,
+    )
+
+    root = tmp_path_factory.mktemp("tiff")
+    spec = tumor_spec(width=1024, height=768, seed=7)
+    level0, _ = make_level0(spec)
+    levels = build_pyramid(level0, 4)
+    path = str(root / "tumor_007.tif")
+    write_pyramidal_tiff(path, levels, tile_size=256)
+    return path, levels
+
+
+def test_tiff_roundtrip_geometry(tiff_case):
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.tiff_slide import (
+        TiffSlide,
+    )
+
+    path, levels = tiff_case
+    slide = TiffSlide(path)
+    assert slide.level_count == 4
+    assert slide.level_dimensions[0] == (1024, 768)
+    assert slide.level_dimensions[2] == (256, 192)
+    assert slide.level_downsamples == [1.0, 2.0, 4.0, 8.0]
+    slide.close()
+
+
+def test_tiff_roundtrip_pixels(tiff_case):
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.tiff_slide import (
+        TiffSlide,
+    )
+
+    path, levels = tiff_case
+    slide = TiffSlide(path)
+    # full level-2 plane matches the source array exactly (deflate lossless)
+    region = slide.read_region((0, 0), 2, slide.level_dimensions[2])
+    np.testing.assert_array_equal(region, levels[2])
+    # sub-region with level-0-coordinate addressing
+    sub = slide.read_region((512, 256), 1, (64, 32))
+    np.testing.assert_array_equal(sub, levels[1][128:160, 256:320])
+    # out-of-bounds is white
+    oob = slide.read_region((100000, 100000), 0, (8, 8))
+    assert (oob == 255).all()
+    slide.close()
+
+
+def test_tiff_open_via_open_slide(tiff_case):
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.slide import (
+        open_slide,
+    )
+
+    path, levels = tiff_case
+    slide = open_slide(path)
+    assert slide.level_count == 4
+    slide.close()
+
+
+def test_batch_read_regions(tiff_case):
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.tiff_slide import (
+        TiffSlide,
+    )
+
+    path, levels = tiff_case
+    slide = TiffSlide(path)
+    coords = np.array([(0, 0), (128, 64), (896, 640)], np.int64)  # level-1
+    out = slide.read_regions(coords, 1, (64, 64), num_threads=4)
+    assert out.shape == (3, 64, 64, 3)
+    np.testing.assert_array_equal(out[0], levels[1][0:64, 0:64])
+    np.testing.assert_array_equal(out[1], levels[1][64:128, 128:192])
+    # third is partially out of bounds (level1 is 512x384) → all white
+    assert (out[2] == 255).all()
+    slide.close()
+
+
+def test_tiff_extraction_pipeline(tmp_path):
+    """extract_patches over a real TIFF container end-to-end."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.config import (
+        DataConfig,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.data import (
+        extract_patches,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.synthetic import (
+        tumor_spec,
+        write_synthetic_case,
+    )
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.synthetic import (
+        SyntheticSlideSpec,
+    )
+
+    root = str(tmp_path / "camelyon16")
+    write_synthetic_case(
+        root, "tumor_010",
+        tumor_spec(width=1792, height=1344, tissue_radii=(0.45, 0.45), seed=9),
+        container="tiff",
+    )
+    write_synthetic_case(
+        root, "normal_010",
+        SyntheticSlideSpec(width=1792, height=1344,
+                           tissue_radii=(0.45, 0.45), seed=10),
+        container="tiff",
+    )
+    data = DataConfig(data_dir=root)
+    manifest = extract_patches(data, level=2, stride=112, store_format="packed")
+    counts = manifest.class_counts()
+    assert counts.get(1, 0) > 0 and counts.get(0, 0) > 0
+    assert set(manifest.slides()) == {"normal_010", "tumor_010"}
+
+
+def test_patch_means_matches_numpy():
+    rng = np.random.default_rng(0)
+    patches = rng.integers(0, 256, (16, 32, 32, 3), np.uint8)
+    means = native_lib.patch_means(patches)
+    expected = patches.reshape(16, -1).mean(axis=1)
+    np.testing.assert_allclose(means, expected, rtol=1e-5)
+
+
+def test_patchify_matches_reference_order():
+    rng = np.random.default_rng(1)
+    plane = rng.integers(0, 256, (100, 130, 3), np.uint8)
+    patches, coords = native_lib.patchify(plane, 64)
+    # grid: nx=3 (0,64,128), ny=2 (0,64) → 6 patches, x-major
+    assert len(patches) == 6
+    assert coords.tolist() == [
+        [0, 0], [0, 64], [64, 0], [64, 64], [128, 0], [128, 64]
+    ]
+    np.testing.assert_array_equal(patches[0], np.pad(
+        plane[0:64, 0:64], ((0, 0), (0, 0), (0, 0))))
+    # border patch white-padded
+    border = patches[4]  # x=128, width 130 → 2 valid cols
+    np.testing.assert_array_equal(border[:, :2], plane[0:64, 128:130])
+    assert (border[:, 2:] == 255).all()
+
+
+def test_gather_rows():
+    rng = np.random.default_rng(2)
+    store = rng.integers(0, 256, (10, 8, 8, 3), np.uint8)
+    idx = np.array([3, 1, 7], np.int64)
+    out = native_lib.gather_rows(store, idx)
+    np.testing.assert_array_equal(out, store[idx])
