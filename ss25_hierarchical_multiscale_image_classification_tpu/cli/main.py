@@ -87,6 +87,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Override epoch count")
     parser.add_argument("--batch_size", type=int, default=None,
                         help="Override global batch size (default 512)")
+    parser.add_argument("--train_mil", action="store_true",
+                        help="Train the attention-MIL slide classifier on "
+                             "extracted features")
+    parser.add_argument("--config", type=str, default=None,
+                        help="JSON config file (overrides defaults; the live "
+                             "equivalent of the reference's dead Config/YAML)")
     parser.add_argument("--data_dir", type=str, default=None,
                         help="Data root (default: ./data/camelyon16)")
     parser.add_argument("--models_dir", type=str, default=None,
@@ -114,8 +120,18 @@ def _reject_unknown_args(parser: argparse.ArgumentParser, argv) -> None:
 
 
 def _config_from_args(args) -> Config:
-    cfg = Config()
-    data_dir = args.data_dir or os.path.join(os.getcwd(), "data", "camelyon16")
+    if getattr(args, "config", None):
+        import json
+
+        with open(args.config) as f:
+            cfg = Config.from_dict(json.load(f))
+    else:
+        cfg = Config()
+    data_dir = args.data_dir or (
+        cfg.data.data_dir
+        if getattr(args, "config", None)
+        else os.path.join(os.getcwd(), "data", "camelyon16")
+    )
     cfg = cfg.replace(data=DataConfig(data_dir=data_dir))
     if args.store:
         cfg.data.patch_store_format = args.store
@@ -271,6 +287,14 @@ def main(argv=None) -> int:
         extract_patches(
             cfg.data, level=level, slide_filter=[args.patch_one_slide]
         )
+
+    if args.train_mil:
+        level = int(args.patch_level) if args.patch_level != "all" else 3
+        from ss25_hierarchical_multiscale_image_classification_tpu.train.mil_trainer import (
+            train_mil_classifier,
+        )
+
+        train_mil_classifier(cfg, level=level, epochs=args.epochs)
 
     if args.predict_slide:
         from ss25_hierarchical_multiscale_image_classification_tpu.infer.overlay import (
