@@ -153,6 +153,9 @@ class SimCLRConfig:
     early_stop_check_every: int = 20
     checkpoint_every_epochs: int = 50  # simclr.py:117
     seed: int = 0
+    #: "xla" (global-view SPMD friendly, default) or "pallas" (the streaming
+    #: flash-style kernel, single-chip hot path)
+    loss_impl: str = "xla"
 
 
 @dataclasses.dataclass

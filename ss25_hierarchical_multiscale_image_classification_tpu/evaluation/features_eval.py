@@ -69,9 +69,14 @@ def validate_features(
         }
         result["tsne_coords"] = tsne_coords
 
-    if len(classes) > 1:
+    min_class = min(int((labels == c).sum()) for c in classes)
+    if len(classes) > 1 and min_class >= 2:
+        # stratification needs ≥2 members per class and a test split big
+        # enough to hold one of each
+        test_size = max(0.2, len(classes) / len(features) + 1e-9)
         x_tr, x_te, y_tr, y_te = train_test_split(
-            features, labels, test_size=0.2, stratify=labels, random_state=seed
+            features, labels, test_size=test_size, stratify=labels,
+            random_state=seed,
         )
         clf = LogisticRegression(max_iter=1000, class_weight="balanced")
         clf.fit(x_tr, y_tr)

@@ -105,29 +105,49 @@ def predict_slide(
         n = len(coords)
         probs = np.zeros((n,), np.float32)
 
-        def read_patch(i: int) -> np.ndarray:
-            x, y = int(coords[i, 0]), int(coords[i, 1])
-            w, h = grid.valid_patch_extent(x, y)
-            region = slide.read_region(grid.level0_origin(x, y), level, (w, h))
-            if w < ps or h < ps:
-                full = np.full((ps, ps, 3), 255, np.uint8)
-                full[:h, :w] = region
-                region = full
-            return region
+        batch_reader = getattr(slide, "read_regions", None)
+
+        def read_chunk(idx: np.ndarray) -> np.ndarray:
+            """Decode a chunk of grid cells; native threaded path when the
+            slide supports it (the C++ decoder pads out-of-bounds white,
+            matching the extraction pipeline)."""
+            if batch_reader is not None:
+                return batch_reader(coords[idx], level, (ps, ps))
+            out = np.empty((len(idx), ps, ps, 3), np.uint8)
+            for j, i in enumerate(idx):
+                x, y = int(coords[i, 0]), int(coords[i, 1])
+                w, h = grid.valid_patch_extent(x, y)
+                region = slide.read_region(
+                    grid.level0_origin(x, y), level, (w, h)
+                )
+                if w < ps or h < ps:
+                    full = np.full((ps, ps, 3), 255, np.uint8)
+                    full[:h, :w] = region
+                    region = full
+                out[j] = region
+            return out
+
+        from ss25_hierarchical_multiscale_image_classification_tpu.io.native_lib import (
+            patch_means,
+        )
 
         with Timer(f"predict_slide[{n} cells]", log):
             batch_imgs = np.zeros((batch_size, ps, ps, 3), np.uint8)
             batch_pos: list[int] = []
-            for i in range(n):
-                patch = read_patch(i)
-                if patch.mean() > tissue_threshold:
-                    continue  # background stays prob 0
-                batch_imgs[len(batch_pos)] = patch
-                batch_pos.append(i)
-                if len(batch_pos) == batch_size:
-                    p = np.asarray(step(params, batch_stats, batch_imgs))
-                    probs[np.asarray(batch_pos)] = p
-                    batch_pos = []
+            # decode in device-batch-sized chunks so host decode (threaded
+            # C++) overlaps the previous chunk's device compute (async jit
+            # dispatch)
+            for start in range(0, n, batch_size):
+                idx = np.arange(start, min(start + batch_size, n))
+                chunk = read_chunk(idx)
+                keep = patch_means(chunk) <= tissue_threshold
+                for j in np.flatnonzero(keep):
+                    batch_imgs[len(batch_pos)] = chunk[j]
+                    batch_pos.append(int(idx[j]))
+                    if len(batch_pos) == batch_size:
+                        p = np.asarray(step(params, batch_stats, batch_imgs))
+                        probs[np.asarray(batch_pos)] = p
+                        batch_pos = []
             if batch_pos:
                 p = np.asarray(step(params, batch_stats, batch_imgs))
                 probs[np.asarray(batch_pos)] = p[: len(batch_pos)]

@@ -55,7 +55,18 @@ from ss25_hierarchical_multiscale_image_classification_tpu.train.state import (
 log = get_logger("train.simclr")
 
 
-def make_simclr_train_step(temperature: float, out_size: int = 224):
+def make_simclr_train_step(
+    temperature: float, out_size: int = 224, loss_impl: str = "xla"
+):
+    if loss_impl == "pallas":
+        from ss25_hierarchical_multiscale_image_classification_tpu.ops.pallas.nt_xent import (
+            nt_xent_loss_pallas,
+        )
+
+        loss_fn_impl = nt_xent_loss_pallas
+    else:
+        loss_fn_impl = nt_xent_loss
+
     @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=())
     def train_step(state, rng, imgs_u8):
         v1, v2 = simclr_two_views(rng, imgs_u8, out_size=out_size)
@@ -71,7 +82,7 @@ def make_simclr_train_step(temperature: float, out_size: int = 224):
                 train=True,
                 mutable=["batch_stats"],
             )
-            loss = nt_xent_loss(z1, z2, temperature)
+            loss = loss_fn_impl(z1, z2, temperature)
             return loss, upd
 
         (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -113,7 +124,7 @@ def pretrain_simclr(
         optax.adam(sc.learning_rate),
     )
     state = replicate(mesh, state)
-    train_step = make_simclr_train_step(sc.temperature, out_size)
+    train_step = make_simclr_train_step(sc.temperature, out_size, sc.loss_impl)
     batches = BatchIterator(
         dataset, sc.batch_size, shuffle=True, seed=sc.seed, drop_remainder=False
     )

@@ -1,0 +1,98 @@
+"""End-to-end learning-signal tests on the synthetic dataset.
+
+The SURVEY §6 golden numbers (89,598 patches, logreg 0.8661, …) are
+full-dataset artifacts; the hermetic analogue asserts that each pipeline
+learns the synthetic tumor/normal distinction (tumor patches are tinted —
+linearly separable), mirroring the reference's sanity-check philosophy
+(``src/main.py:1017-1070``).
+"""
+
+import numpy as np
+import pytest
+
+from ss25_hierarchical_multiscale_image_classification_tpu.config import (
+    Config,
+    DataConfig,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.data import (
+    extract_patches,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.data.datasets import (
+    PatchDataset,
+)
+
+
+@pytest.fixture(scope="module")
+def learnable_dataset(synthetic_case):
+    data = DataConfig(data_dir=synthetic_case)
+    manifest = extract_patches(data, level=2, stride=112, store_format="packed")
+    # per-class counts needed for learning: require both classes present
+    counts = manifest.class_counts()
+    assert counts.get(0, 0) > 0 and counts.get(1, 0) > 0
+    return PatchDataset(manifest, resize_to=64)
+
+
+def test_classifier_learns_synthetic_tumors(learnable_dataset):
+    import jax
+    import jax.numpy as jnp
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.models import (
+        ResNet18Classifier,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.train import (
+        Trainer,
+        class_weights_inv_min,
+    )
+
+    ds = learnable_dataset
+    trainer = Trainer(
+        ResNet18Classifier(dtype=jnp.float32),
+        ds,
+        val_ds=ds,  # train-set eval: we assert the model can FIT the signal
+        batch_size=8,
+        learning_rate=3e-3,
+        class_weights=class_weights_inv_min(ds.labels),
+        seed=0,
+    )
+    history = trainer.fit(num_epochs=25)
+    best = max(h["val_acc"] for h in history)
+    assert best >= 0.7, (
+        f"classifier failed to fit synthetic tumors: {history[-3:]}"
+    )
+
+
+def test_features_separate_classes(learnable_dataset):
+    """Even with a random trunk, logreg on pooled features should separate
+    the color-tinted classes (the --validate sanity-check contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.evaluation import (
+        validate_features,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.features import (
+        run_feature_extraction,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.models import (
+        ResNet18FeatureExtractor,
+    )
+
+    ds = learnable_dataset
+    fx = ResNet18FeatureExtractor(dtype=jnp.float32)
+    variables = fx.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    feats, labels, _names = run_feature_extraction(
+        ds, dict(variables), batch_size=8, dtype=jnp.float32
+    )
+    # the held-out split is too tiny (~4 samples) to be meaningful here; the
+    # sanity contract is that random-trunk features make the color-tinted
+    # classes linearly separable at all → check fit accuracy
+    from sklearn.linear_model import LogisticRegression
+
+    clf = LogisticRegression(max_iter=1000, class_weight="balanced")
+    clf.fit(feats, labels)
+    fit_acc = float((clf.predict(feats) == labels).mean())
+    assert fit_acc >= 0.9, f"features not separable: fit acc {fit_acc}"
+
+    # validate_features still runs end-to-end and reports its structure
+    result = validate_features(feats, labels, run_tsne=False)
+    assert "pca_explained_variance" in result

@@ -1,0 +1,84 @@
+"""Strategy trainer dispatch and encoder-reuse semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from ss25_hierarchical_multiscale_image_classification_tpu.models import (
+    ResNet18Classifier,
+    SimCLRModel,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.train.state import (
+    create_train_state,
+)
+
+
+def test_simclr_encoder_merges_into_classifier():
+    """The intended self_supervised semantics (the reference's crashing
+    ``ResNet18Classifier(pretrained_weights_path=...)`` call at main.py:558;
+    intent per resnet.py:80-91): encoder trunk loads, head stays fresh."""
+    simclr = SimCLRModel(dtype=jnp.float32)
+    sim_vars = simclr.init(
+        jax.random.key(7), jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    encoder_trunk = {
+        "params": sim_vars["params"]["encoder"],
+        "batch_stats": sim_vars["batch_stats"]["encoder"],
+    }
+
+    model = ResNet18Classifier(dtype=jnp.float32)
+    state = create_train_state(
+        model,
+        jax.random.key(0),
+        (1, 32, 32, 3),
+        optax.adam(1e-3),
+        pretrained_variables=encoder_trunk,
+    )
+    # trunk weights must equal the encoder's
+    np.testing.assert_array_equal(
+        np.asarray(state.params["stem_conv"]["kernel"]),
+        np.asarray(encoder_trunk["params"]["stem_conv"]["kernel"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state.batch_stats["stem_norm"]["mean"]),
+        np.asarray(encoder_trunk["batch_stats"]["stem_norm"]["mean"]),
+    )
+    # head is fresh (encoder has no fc)
+    assert state.params["fc"]["kernel"].shape == (512, 2)
+
+
+def test_classifier_head_adopted_when_shapes_match():
+    """Loading a full classifier checkpoint re-uses its head too
+    (checkpoint interop path)."""
+    model = ResNet18Classifier(dtype=jnp.float32)
+    src = model.init(jax.random.key(3), jnp.zeros((1, 32, 32, 3)), train=False)
+    state = create_train_state(
+        model,
+        jax.random.key(0),
+        (1, 32, 32, 3),
+        optax.adam(1e-3),
+        pretrained_variables={
+            "params": src["params"],
+            "batch_stats": src["batch_stats"],
+        },
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state.params["fc"]["kernel"]),
+        np.asarray(src["params"]["fc"]["kernel"]),
+    )
+
+
+def test_strategic_trainer_rejects_unknown_strategy(synthetic_case):
+    from ss25_hierarchical_multiscale_image_classification_tpu.config import (
+        Config,
+        DataConfig,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.train.trainer import (
+        train_resnet_classifier_strategic,
+    )
+
+    cfg = Config(data=DataConfig(data_dir=synthetic_case))
+    with pytest.raises(ValueError, match="unknown strategy"):
+        train_resnet_classifier_strategic(cfg, strategy="nope")
