@@ -62,8 +62,7 @@ def test_classifier_learns_synthetic_tumors(learnable_dataset):
 
 
 def test_feature_extraction_and_validation(learnable_dataset):
-    """Even with a random trunk, logreg on pooled features should separate
-    the color-tinted classes (the --validate sanity-check contract)."""
+    """Feature extraction + ``--validate`` sanity-eval mechanics end-to-end."""
     import jax
     import jax.numpy as jnp
 
