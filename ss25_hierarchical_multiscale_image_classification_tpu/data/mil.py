@@ -78,6 +78,43 @@ def bags_from_artifacts(features_dir: str, level: int) -> list[Bag]:
     return build_bags(feats, labels, names)
 
 
+def image_bags_from_manifest(
+    manifest, resize_to: int = 224
+) -> list[Bag]:
+    """Image-space bags: one (K, H, W, 3)-patch bag per slide.
+
+    Implements what ``Camelyon16MILDataset._create_bags`` stubbed out
+    (``camelyon16_mil_dataset.py:19-22``): bag = all stored patches of a
+    slide, label = tumor iff any patch is tumor. ``features`` holds raw
+    uint8 patches here; encode them with ``models.CNNEncoder`` (or the
+    ResNet18 extractor) before pooling.
+    """
+    from ss25_hierarchical_multiscale_image_classification_tpu.data.patch_store import (
+        PatchReader,
+    )
+
+    reader = PatchReader(manifest)
+    by_slide: dict[str, list[int]] = {}
+    for i, rec in enumerate(manifest):
+        by_slide.setdefault(rec.slide, []).append(i)
+    bags = []
+    for slide, idxs in sorted(by_slide.items()):
+        imgs = reader.read_batch(idxs, resize_to=resize_to)
+        labels = manifest.labels()[np.asarray(idxs)]
+        coords = np.array(
+            [(manifest[i].x, manifest[i].y) for i in idxs], np.int64
+        )
+        bags.append(
+            Bag(
+                slide=slide,
+                features=imgs,  # (K, H, W, 3) uint8
+                label=int((labels == 1).any()),
+                coords=coords,
+            )
+        )
+    return bags
+
+
 class MILBagIterator:
     """Static-shape bag batches: (B, max_bag, D) + (B, max_bag) mask +
     (B,) labels + (B,) valid."""
