@@ -151,7 +151,6 @@ def download_all_tumor_extract_patches(
     """``--balance_dataset``: pull the tumor tail (tumor_036..111) and
     extract tumor-only patches (``src/main.py:231-250``)."""
     from ss25_hierarchical_multiscale_image_classification_tpu.data.extract import (
-        annotation_path_for,
         extract_patches,
     )
 

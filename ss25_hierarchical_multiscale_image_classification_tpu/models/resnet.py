@@ -20,7 +20,7 @@ Dense(2)), the fc-stripped 512-d feature extractor, and ``UnifiedResNet``
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ heatmap visualization. Hyperparameters follow the aspirational
 from __future__ import annotations
 
 
-import os
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ import functools
 import time
 
 import jax
-import jax.numpy as jnp
+
 import optax
 
 from ss25_hierarchical_multiscale_image_classification_tpu.config import Config

@@ -61,7 +61,6 @@ from ss25_hierarchical_multiscale_image_classification_tpu.train.checkpoints imp
     save_model,
 )
 from ss25_hierarchical_multiscale_image_classification_tpu.train.losses import (
-    accuracy,
     class_weights_inv_min,
     class_weights_total_over_count,
     weighted_cross_entropy,

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
 
 from ss25_hierarchical_multiscale_image_classification_tpu.grid.rasterize import (
     polygons_to_mask,

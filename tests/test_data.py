@@ -21,7 +21,6 @@ from ss25_hierarchical_multiscale_image_classification_tpu.data.datasets import 
 from ss25_hierarchical_multiscale_image_classification_tpu.data.manifest import (
     PatchRecord,
     load_or_scan_manifest,
-    manifest_path,
 )
 from ss25_hierarchical_multiscale_image_classification_tpu.data.patch_store import (
     PatchReader,

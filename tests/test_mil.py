@@ -1,7 +1,6 @@
 """MIL track: bag construction, trainer, prediction with uncertainty."""
 
 import numpy as np
-import pytest
 
 from ss25_hierarchical_multiscale_image_classification_tpu.config import Config
 from ss25_hierarchical_multiscale_image_classification_tpu.data.mil import (

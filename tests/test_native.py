@@ -1,6 +1,5 @@
 """Native C++ runtime: TIFF round-trip, batch reads, chunk processor."""
 
-import os
 
 import numpy as np
 import pytest
