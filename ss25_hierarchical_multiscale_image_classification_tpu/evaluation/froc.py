@@ -260,10 +260,15 @@ def run_froc_evaluation(
         case = fname[: -len(".csv")]
         probs, xcorr, ycorr = read_csv_content(os.path.join(csv_dir, fname))
         mask_path = None
-        for ext in (".wsi.npz", ".tif", ".tiff", ".npy"):
-            cand = os.path.join(mask_dir, f"{case}_mask{ext}")
-            if os.path.exists(cand):
-                mask_path = cand
+        # accept both the reference's "{case}_Mask.tif" (src/main.py:1198)
+        # and lowercase variants across containers
+        for suffix in ("_Mask", "_mask"):
+            for ext in (".wsi.npz", ".tif", ".tiff", ".npy"):
+                cand = os.path.join(mask_dir, f"{case}{suffix}{ext}")
+                if os.path.exists(cand):
+                    mask_path = cand
+                    break
+            if mask_path:
                 break
         if mask_path is not None:
             if mask_path.endswith(".npy"):

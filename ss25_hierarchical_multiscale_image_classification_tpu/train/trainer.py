@@ -232,6 +232,23 @@ class Trainer:
             "batch_stats": jax.device_get(self.state.batch_stats),
         }
 
+    # -- true resume (the reference restarts training from scratch;
+    #    SURVEY.md §5 notes it never checkpoints optimizer state) ---------
+    def save_checkpoint(self, manager, epoch: int) -> None:
+        """Persist the FULL train state (params + opt state + batch stats +
+        step) via a ``checkpoints.CheckpointManager``."""
+        manager.save(epoch, jax.device_get(self.state))
+
+    def restore_checkpoint(self, manager) -> int | None:
+        """Restore the latest full train state; returns the epoch restored
+        from, or None when no checkpoint exists."""
+        step = manager.latest_step()
+        if step is None:
+            return None
+        restored = manager.restore(jax.device_get(self.state), step)
+        self.state = replicate(self.mesh, restored)
+        return step
+
 
 # ---------------------------------------------------------------------------
 # Reference entry points
