@@ -79,3 +79,28 @@ def test_fused_normalize_parity():
     np.testing.assert_allclose(
         np.asarray(means), imgs.reshape(8, -1).mean(1), rtol=1e-5
     )
+
+
+def test_mil_pool_pallas_parity():
+    from ss25_hierarchical_multiscale_image_classification_tpu.models.mil import (
+        MILAttentionPooling,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.ops.pallas.mil_pool import (
+        mil_attention_pool_pallas,
+    )
+
+    rng = np.random.default_rng(7)
+    b, k, d, h = 3, 32, 16, 8
+    feats = jnp.asarray(rng.normal(size=(b, k, d)), jnp.float32)
+    mask = jnp.asarray(rng.random((b, k)) > 0.3)
+    module = MILAttentionPooling(hidden_dim=h)
+    variables = module.init(jax.random.key(0), feats, mask)
+    bag_ref, _attn = module.apply(variables, feats, mask)
+
+    v = variables["params"]["V"]["kernel"]
+    vb = variables["params"]["V"]["bias"]
+    w = variables["params"]["w"]["kernel"][:, 0]
+    bag_pl = mil_attention_pool_pallas(feats, mask, v, w, v_bias=vb, block_k=8)
+    np.testing.assert_allclose(
+        np.asarray(bag_pl), np.asarray(bag_ref), rtol=1e-4, atol=1e-5
+    )
