@@ -1,0 +1,111 @@
+"""Hierarchical multiscale: co-located sampling + fusion classifier."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ss25_hierarchical_multiscale_image_classification_tpu.config import (
+    DataConfig,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.data import (
+    extract_patches,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.data.multiscale import (
+    MultiscaleDataset,
+    join_levels,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.models.hierarchical import (
+    HierarchicalPatchClassifier,
+)
+
+
+@pytest.fixture(scope="module")
+def two_level_patches(synthetic_case):
+    data = DataConfig(data_dir=synthetic_case)
+    m2 = extract_patches(data, level=2, store_format="packed")
+    m3 = extract_patches(data, level=3, store_format="packed")
+    return {2: m2, 3: m3}
+
+
+def test_join_levels_aligns_cells(two_level_patches):
+    samples = join_levels(two_level_patches)
+    assert len(samples) > 0
+    for s in samples:
+        rec2 = two_level_patches[2][s.indices[2]]
+        rec3 = two_level_patches[3][s.indices[3]]
+        assert rec2.slide == rec3.slide == s.slide
+        # same grid cell → same level-0 field of view
+        assert rec2.x // 448 == rec3.x // 224 == s.cell[0]
+        assert rec2.y // 448 == rec3.y // 224 == s.cell[1]
+        # label = tumor iff any level says tumor
+        assert s.label == max(rec2.label, rec3.label)
+
+
+def test_multiscale_dataset_batches(two_level_patches):
+    ds = MultiscaleDataset(two_level_patches, resize_to=64)
+    assert len(ds) > 0
+    imgs, labels, valid = next(iter(ds.batches(4, shuffle=False)))
+    assert set(imgs) == {2, 3}
+    assert imgs[2].shape == (4, 64, 64, 3) and imgs[2].dtype == np.uint8
+    assert imgs[3].shape == (4, 64, 64, 3)
+    assert labels.shape == (4,) and valid.shape == (4,)
+
+
+@pytest.mark.parametrize("fusion", ["concat", "attention"])
+def test_hierarchical_classifier_forward(fusion):
+    model = HierarchicalPatchClassifier(
+        levels=(2, 3), fusion=fusion, dtype=jnp.float32
+    )
+    batch = {
+        2: jnp.zeros((2, 64, 64, 3), jnp.float32),
+        3: jnp.ones((2, 64, 64, 3), jnp.float32),
+    }
+    variables = model.init(jax.random.key(0), batch, train=False)
+    logits = model.apply(variables, batch, train=False)
+    assert logits.shape == (2, 2)
+    # shared trunk: exactly one extractor's params
+    assert "trunk" in variables["params"]
+    assert variables["params"]["scale_embed"].shape == (2, 512)
+
+
+def test_hierarchical_classifier_trains_step(two_level_patches):
+    """One jitted fused train step over real multiscale batches."""
+    import optax
+
+    ds = MultiscaleDataset(two_level_patches, resize_to=64)
+    model = HierarchicalPatchClassifier(levels=(2, 3), dtype=jnp.float32)
+    imgs, labels, valid = next(iter(ds.batches(4, shuffle=True)))
+    batch = {lvl: jnp.asarray(x, jnp.float32) / 255.0 for lvl, x in imgs.items()}
+
+    variables = model.init(jax.random.key(0), batch, train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, batch, labels, valid):
+        def loss_fn(p):
+            logits, upd = model.apply(
+                {"params": p, "batch_stats": batch_stats}, batch,
+                train=True, mutable=["batch_stats"],
+            )
+            from ss25_hierarchical_multiscale_image_classification_tpu.train.losses import (
+                weighted_cross_entropy,
+            )
+
+            return weighted_cross_entropy(logits, labels, None, valid), upd
+
+        (loss, upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), upd["batch_stats"], opt_state, loss
+
+    params2, _stats, _opt, loss = step(
+        params, batch_stats, opt_state,
+        batch, jnp.asarray(labels), jnp.asarray(valid),
+    )
+    assert np.isfinite(float(loss))
+    assert not np.allclose(
+        np.asarray(params["head_out"]["kernel"]),
+        np.asarray(params2["head_out"]["kernel"]),
+    )
