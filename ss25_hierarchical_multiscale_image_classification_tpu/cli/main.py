@@ -90,6 +90,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--train_mil", action="store_true",
                         help="Train the attention-MIL slide classifier on "
                              "extracted features")
+    parser.add_argument("--train_multiscale", action="store_true",
+                        help="Train the hierarchical multiscale fusion "
+                             "classifier on co-located cross-level patches")
+    parser.add_argument("--levels", type=str, default="2,3",
+                        help="Comma-separated pyramid levels for "
+                             "--train_multiscale")
     parser.add_argument("--config", type=str, default=None,
                         help="JSON config file (overrides defaults; the live "
                              "equivalent of the reference's dead Config/YAML)")
@@ -295,6 +301,14 @@ def main(argv=None) -> int:
         )
 
         train_mil_classifier(cfg, level=level, epochs=args.epochs)
+
+    if args.train_multiscale:
+        from ss25_hierarchical_multiscale_image_classification_tpu.train.multiscale_trainer import (
+            train_multiscale_classifier,
+        )
+
+        levels = tuple(int(v) for v in args.levels.split(","))
+        train_multiscale_classifier(cfg, levels=levels, epochs=args.epochs)
 
     if args.predict_slide:
         from ss25_hierarchical_multiscale_image_classification_tpu.infer.overlay import (

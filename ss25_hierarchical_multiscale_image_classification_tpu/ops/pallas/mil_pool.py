@@ -72,7 +72,10 @@ def _kernel(h_ref, mask_ref, v_ref, vb_ref, w_ref, bag_ref, *, block_k):
     l0 = jnp.zeros((1, 1), jnp.float32)
     acc0 = jnp.zeros((1, D), jnp.float32)
     _m, l, acc = jax.lax.fori_loop(0, num_k, body, (m0, l0, acc0))
-    bag_ref[...] = acc / jnp.maximum(l, 1e-30)
+    # output ref holds ALL bags (full-array spec: a (1, D) block would
+    # violate the 8-sublane tiling rule); each grid step writes its row
+    i = pl.program_id(0)
+    bag_ref[pl.ds(i, 1), :] = acc / jnp.maximum(l, 1e-30)
 
 
 def mil_attention_pool_pallas(h, mask, v, w, v_bias=None, block_k: int = 512):
@@ -118,8 +121,7 @@ def mil_attention_pool_pallas(h, mask, v, w, v_bias=None, block_k: int = 512):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, d), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
         interpret=_interpret(),
     )(h.reshape(b, k, d), mask2, v, vb, w)

@@ -1,0 +1,142 @@
+"""Hierarchical multiscale classifier training.
+
+Trains ``models.hierarchical.HierarchicalPatchClassifier`` on co-located
+cross-level patches — the fusion capability beyond the reference's per-level
+training (SURVEY.md §5: the reference's "long-context" analogue is the
+level pyramid, which it never fuses).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ss25_hierarchical_multiscale_image_classification_tpu.config import Config
+from ss25_hierarchical_multiscale_image_classification_tpu.data.augment import (
+    normalize,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.data.multiscale import (
+    MultiscaleDataset,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.logging_utils import (
+    get_logger,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.models.hierarchical import (
+    HierarchicalPatchClassifier,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.train.checkpoints import (
+    model_artifact_path,
+    save_model,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.train.losses import (
+    class_weights_inv_min,
+    weighted_cross_entropy,
+)
+
+log = get_logger("train.multiscale")
+
+
+def train_multiscale_classifier(
+    cfg: Config,
+    levels=(2, 3),
+    epochs: int | None = None,
+    dataset: MultiscaleDataset | None = None,
+    fusion: str = "concat",
+    batch_size: int | None = None,
+) -> dict:
+    """Train the fusion classifier; writes the ``hierarchical_classifier``
+    artifact and returns {"variables", "history"}."""
+    if dataset is None:
+        dataset = MultiscaleDataset.from_patches_dir(
+            cfg.data.patches_dir, levels=levels
+        )
+    if len(dataset) == 0:
+        raise FileNotFoundError(
+            f"no aligned multiscale cells at levels {levels}; extract "
+            "patches at every requested level first"
+        )
+    levels = tuple(dataset.levels)
+    batch_size = batch_size or cfg.train.batch_size
+    mesh = make_mesh()
+
+    model = HierarchicalPatchClassifier(
+        levels=levels, num_classes=cfg.model.num_classes, fusion=fusion
+    )
+    s = dataset.resize_to
+    init_batch = {
+        lvl: jnp.zeros((1, s, s, 3), jnp.float32) for lvl in levels
+    }
+    variables = model.init(jax.random.key(cfg.train.seed), init_batch,
+                           train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(cfg.train.learning_rate)
+    opt_state = tx.init(params)
+    params = replicate(mesh, params)
+    batch_stats = replicate(mesh, batch_stats)
+    opt_state = replicate(mesh, opt_state)
+
+    weights = jnp.asarray(
+        class_weights_inv_min(dataset.labels, cfg.model.num_classes)
+    )
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, batch_u8, labels, valid):
+        batch = {lvl: normalize(x) for lvl, x in batch_u8.items()}
+
+        def loss_fn(p):
+            logits, upd = model.apply(
+                {"params": p, "batch_stats": batch_stats}, batch,
+                train=True, mutable=["batch_stats"],
+            )
+            loss = weighted_cross_entropy(logits, labels, weights, valid)
+            return loss, (logits, upd)
+
+        (loss, (logits, upd)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        correct = jnp.sum((jnp.argmax(logits, -1) == labels) * valid)
+        return (params, upd["batch_stats"], opt_state, loss, correct,
+                jnp.sum(valid))
+
+    epochs = epochs or cfg.train.strategy_epochs
+    history = []
+    for epoch in range(epochs):
+        t0 = time.perf_counter()
+        total, correct, count = 0.0, 0.0, 0.0
+        for imgs, labels, valid in dataset.batches(
+            batch_size, shuffle=True, seed=cfg.train.seed + epoch
+        ):
+            batch = shard_batch(mesh, imgs)
+            labels_d, valid_d = shard_batch(mesh, (labels, valid))
+            params, batch_stats, opt_state, loss, c, n = train_step(
+                params, batch_stats, opt_state, batch, labels_d, valid_d
+            )
+            total += float(loss)
+            correct += float(c)
+            count += float(n)
+        acc = correct / max(count, 1.0)
+        history.append({"epoch": epoch, "loss": total, "acc": acc})
+        log.info(
+            "multiscale epoch %d/%d: loss %.4f acc %.4f (%.1fs)",
+            epoch + 1, epochs, total, acc, time.perf_counter() - t0,
+        )
+
+    out = {
+        "params": jax.device_get(params),
+        "batch_stats": jax.device_get(batch_stats),
+    }
+    save_model(
+        model_artifact_path(cfg.models_dir, "hierarchical_classifier"), out
+    )
+    return {"variables": out, "history": history, "levels": levels}

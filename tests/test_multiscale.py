@@ -109,3 +109,29 @@ def test_hierarchical_classifier_trains_step(two_level_patches):
         np.asarray(params["head_out"]["kernel"]),
         np.asarray(params2["head_out"]["kernel"]),
     )
+
+
+def test_multiscale_trainer_end_to_end(two_level_patches, tmp_path, synthetic_case):
+    from ss25_hierarchical_multiscale_image_classification_tpu.config import (
+        Config,
+        DataConfig,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.train.multiscale_trainer import (
+        train_multiscale_classifier,
+    )
+
+    cfg = Config(
+        data=DataConfig(data_dir=synthetic_case),
+        models_dir=str(tmp_path / "models"),
+    )
+    ds = MultiscaleDataset(two_level_patches, resize_to=64)
+    result = train_multiscale_classifier(
+        cfg, dataset=ds, epochs=1, batch_size=8
+    )
+    assert result["levels"] == (2, 3)
+    assert np.isfinite(result["history"][0]["loss"])
+    import os
+
+    assert os.path.exists(
+        os.path.join(str(tmp_path / "models"), "hierarchical_classifier")
+    )
