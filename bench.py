@@ -31,7 +31,9 @@ def run_bench(batch_size: int = 512, iters: int = 50, warmup: int = 5) -> dict:
         ResNet18FeatureExtractor,
     )
 
-    model = ResNet18FeatureExtractor(dtype=jnp.bfloat16)
+    # bf16 inference weights (deployment practice: no per-step f32→bf16
+    # weight conversion traffic)
+    model = ResNet18FeatureExtractor(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
     variables = model.init(
         jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32), train=False
     )
