@@ -136,7 +136,28 @@ class PatchReader:
     def read_batch(
         self, indices: Sequence[int], resize_to: int | None = None
     ) -> np.ndarray:
-        imgs = [self.read(int(i)) for i in indices]
+        """Batch gather. Packed-store rows coming from one pack file go
+        through the native OpenMP gather (one memcpy sweep) instead of a
+        per-index Python loop — the host half of the input pipeline."""
+        indices = [int(i) for i in indices]
+        recs = [self.manifest[i] for i in indices]
+        if recs and all(r.store == "packed" for r in recs):
+            from ss25_hierarchical_multiscale_image_classification_tpu.io.native_lib import (
+                gather_rows,
+            )
+
+            imgs = [None] * len(recs)
+            by_path: dict[str, list[int]] = {}
+            for pos, r in enumerate(recs):
+                by_path.setdefault(r.path, []).append(pos)
+            for path, positions in by_path.items():
+                store = self._mmap(path)
+                rows = np.array([recs[p].row for p in positions], np.int64)
+                gathered = gather_rows(np.asarray(store), rows)
+                for j, p in enumerate(positions):
+                    imgs[p] = gathered[j]
+        else:
+            imgs = [self.read(i) for i in indices]
         if resize_to is not None:
             imgs = [_resize(img, resize_to) for img in imgs]
         return np.stack(imgs)

@@ -160,3 +160,28 @@ def test_gather_rows():
     idx = np.array([3, 1, 7], np.int64)
     out = native_lib.gather_rows(store, idx)
     np.testing.assert_array_equal(out, store[idx])
+
+
+def test_sliding_window_on_tiff(tiff_case):
+    """predict_slide takes the native threaded batch-decode path on TIFFs."""
+    import jax
+    import jax.numpy as jnp
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
+        predict_slide,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.models import (
+        ResNet18Classifier,
+    )
+
+    path, _levels = tiff_case
+    model = ResNet18Classifier(dtype=jnp.float32)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    probs, grid = predict_slide(
+        path, dict(variables), level=3, batch_size=8, model=model,
+        input_size=64,
+    )
+    assert probs.shape == (grid.ny, grid.nx)
+    assert (probs >= 0).all() and (probs <= 1).all()
