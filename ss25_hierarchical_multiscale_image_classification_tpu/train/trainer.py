@@ -205,6 +205,7 @@ class Trainer:
         num_epochs: int,
         checkpoint_every: int | None = None,
         checkpoint_prefix: str | None = None,
+        history_path: str | None = None,
     ) -> list[dict]:
         for epoch in range(num_epochs):
             stats = self.train_epoch(epoch)
@@ -215,6 +216,8 @@ class Trainer:
                 epoch + 1, num_epochs, stats["train_loss"],
                 stats["train_acc"], stats["val_acc"], stats["seconds"],
             )
+            if history_path:
+                self._write_history(history_path)
             if (
                 checkpoint_every
                 and checkpoint_prefix
@@ -225,6 +228,15 @@ class Trainer:
                 )
                 log.info("Checkpoint saved: %s_epoch%d", checkpoint_prefix, epoch + 1)
         return self.history
+
+    def _write_history(self, path: str) -> None:
+        """Machine-readable per-epoch metrics (the observability the
+        reference lacked beyond stdout prints, SURVEY.md §5)."""
+        import json
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(self.history, f, indent=2)
 
     def variables(self) -> dict:
         return {
@@ -299,6 +311,7 @@ def train_resnet_classifier(
         epochs or cfg.train.epochs,
         checkpoint_every=cfg.train.checkpoint_every_epochs,
         checkpoint_prefix=prefix,
+        history_path=os.path.join(cfg.log_dir, "train_history.json"),
     )
     save_model(prefix, trainer.variables())
     log.info("Training complete. Model saved %s.", prefix)
@@ -361,7 +374,10 @@ def train_resnet_classifier_strategic(
     prefix = model_artifact_path(
         cfg.models_dir, f"resnet18_patch_classifier_{strategy}"
     )
-    trainer.fit(epochs or cfg.train.strategy_epochs)
+    trainer.fit(
+        epochs or cfg.train.strategy_epochs,
+        history_path=os.path.join(cfg.log_dir, f"train_history_{strategy}.json"),
+    )
     save_model(prefix, trainer.variables())
     log.info("Training complete. Model saved %s.", prefix)
     return trainer
