@@ -78,11 +78,14 @@ def predict_slide(
     model=None,
     tissue_threshold: float = TISSUE_MEAN_RGB_THRESHOLD,
     input_size: int = 224,
+    mesh=None,
 ) -> tuple[np.ndarray, PatchGrid]:
     """Tumor probability per grid cell.
 
     Returns (probs (ny, nx) float32 indexed [y_idx, x_idx], grid). Non-tissue
-    cells are 0.
+    cells are 0. With a ``mesh``, each batch is sharded across the data axis
+    — the slide's patch grid is spatially data-parallel over ICI (the
+    multi-chip path behind the <60 s full-slide target; SURVEY.md §5).
     """
     slide = (
         open_slide(slide_or_path) if isinstance(slide_or_path, str) else slide_or_path
@@ -100,6 +103,21 @@ def predict_slide(
         step = make_prob_step(model, input_size)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        if mesh is not None:
+            from ss25_hierarchical_multiscale_image_classification_tpu.parallel.mesh import (
+                batch_sharding,
+                replicate,
+            )
+
+            params = replicate(mesh, params)
+            batch_stats = replicate(mesh, batch_stats)
+            _in_sharding = batch_sharding(mesh)
+
+            def _put(x):
+                return jax.device_put(x, _in_sharding)
+        else:
+            def _put(x):
+                return x
 
         ps = grid.patch_size
         n = len(coords)
@@ -145,11 +163,11 @@ def predict_slide(
                     batch_imgs[len(batch_pos)] = chunk[j]
                     batch_pos.append(int(idx[j]))
                     if len(batch_pos) == batch_size:
-                        p = np.asarray(step(params, batch_stats, batch_imgs))
+                        p = np.asarray(step(params, batch_stats, _put(batch_imgs)))
                         probs[np.asarray(batch_pos)] = p
                         batch_pos = []
             if batch_pos:
-                p = np.asarray(step(params, batch_stats, batch_imgs))
+                p = np.asarray(step(params, batch_stats, _put(batch_imgs)))
                 probs[np.asarray(batch_pos)] = p[: len(batch_pos)]
 
         # scatter into the (ny, nx) grid

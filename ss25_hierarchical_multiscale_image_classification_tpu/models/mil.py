@@ -104,6 +104,43 @@ class MILClassifier(nn.Module):
         return logits.astype(jnp.float32), attn
 
 
+def sharded_attention_pool(h_local, mask_local, v, w, v_bias=None,
+                           axis_name: str = "data"):
+    """Attention pooling over a bag whose instances are SHARDED across a
+    mesh axis — the spatial-data-parallel MIL reduction SURVEY.md §5 calls
+    for on bags too large for one chip (~10^4+ instances/slide).
+
+    Numerically identical to pooling the gathered bag: the softmax runs as a
+    two-phase collective (pmax for the global max, psum for the normalizer
+    and the weighted feature sum), so no device ever materializes the full
+    bag.
+
+    Args:
+        h_local: (K_local, D) this shard's instances.
+        mask_local: (K_local,) bool validity of this shard's instances.
+        v: (D, H) attention projection kernel; v_bias: optional (H,).
+        w: (H,) scoring vector.
+        axis_name: mesh axis the bag is sharded over.
+
+    Returns:
+        (D,) pooled bag (replicated across the axis).
+    """
+    import jax
+
+    a = jnp.tanh(
+        jnp.dot(h_local.astype(jnp.float32), v.astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+        + (0.0 if v_bias is None else v_bias.astype(jnp.float32))
+    ) @ w.astype(jnp.float32)  # (K_local,)
+    a = jnp.where(mask_local, a, _NEG_INF)
+
+    m = jax.lax.pmax(jnp.max(a), axis_name)  # global max
+    p = jnp.exp(a - m) * mask_local.astype(jnp.float32)
+    denom = jax.lax.psum(jnp.sum(p), axis_name)
+    weighted = jax.lax.psum(p @ h_local.astype(jnp.float32), axis_name)
+    return weighted / jnp.maximum(denom, 1e-30)
+
+
 def pad_bag(features, max_bag_size: int):
     """Pad (K, D) instance features to (max_bag_size, D) + mask.
 

@@ -249,3 +249,38 @@ def test_torch_import_roundtrip():
 
     logits = model.apply(converted, x, train=False)
     assert logits.shape == (1, 2)
+
+
+def test_sharded_attention_pool_matches_single_device():
+    """Instance-sharded MIL pooling over 8 devices == pooled full bag."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.models.mil import (
+        sharded_attention_pool,
+    )
+
+    rng = np.random.default_rng(11)
+    k, d, h = 64, 32, 16
+    feats = rng.normal(size=(k, d)).astype(np.float32)
+    mask = rng.random(k) > 0.25
+    v = rng.normal(size=(d, h)).astype(np.float32)
+    vb = rng.normal(size=(h,)).astype(np.float32)
+    w = rng.normal(size=(h,)).astype(np.float32)
+
+    # single-device reference: explicit softmax pooling
+    a = np.tanh(feats @ v + vb) @ w
+    a = np.where(mask, a, -1e30)
+    p = np.exp(a - a.max())
+    p = np.where(mask, p, 0.0)
+    ref = (p / p.sum()) @ feats
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    pooled = shard_map(
+        lambda hh, mm: sharded_attention_pool(hh, mm, v, w, v_bias=vb,
+                                              axis_name="data"),
+        mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=P(),
+    )(jnp.asarray(feats), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(pooled), ref, rtol=1e-4, atol=1e-5)
