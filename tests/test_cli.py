@@ -81,3 +81,32 @@ def test_cli_full_pipeline(pipeline_case, tmp_path):
     assert main(["--validate"] + common) == 0
     assert main(["--evaluate"] + common) == 0
     assert main(["--count_tumor_patches"] + common) == 0
+
+
+def test_cli_config_file(tmp_path):
+    """--config JSON drives the live Config (the reference's YAML was dead)."""
+    import json
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.cli.main import (
+        _config_from_args,
+        build_parser,
+    )
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "simclr": {"epochs": 3, "batch_size": 16},
+        "train": {"learning_rate": 5e-4},
+        "mil": {"pooling": "mean"},
+    }))
+    args = build_parser().parse_args(["--config", str(cfg_path)])
+    cfg = _config_from_args(args)
+    assert cfg.simclr.epochs == 3
+    assert cfg.simclr.batch_size == 16
+    assert cfg.train.learning_rate == 5e-4
+    assert cfg.mil.pooling == "mean"
+    # CLI overrides still win
+    args = build_parser().parse_args(
+        ["--config", str(cfg_path), "--batch_size", "32"]
+    )
+    cfg = _config_from_args(args)
+    assert cfg.train.batch_size == 32 and cfg.simclr.batch_size == 32
