@@ -99,6 +99,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--config", type=str, default=None,
                         help="JSON config file (overrides defaults; the live "
                              "equivalent of the reference's dead Config/YAML)")
+    parser.add_argument("--wsi_viz", type=str, default=None,
+                        help="Render annotation-mask QA figures for a slide "
+                             "path (the standalone visualizer)")
     parser.add_argument("--data_dir", type=str, default=None,
                         help="Data root (default: ./data/camelyon16)")
     parser.add_argument("--models_dir", type=str, default=None,
@@ -336,6 +339,24 @@ def main(argv=None) -> int:
             )
             render_overlay(args.predict_slide, prob_grid, save_path=out)
             log.info("Overlay saved: %s", out)
+
+    if args.wsi_viz:
+        from ss25_hierarchical_multiscale_image_classification_tpu.data.extract import (
+            annotation_path_for,
+            slide_name,
+        )
+        from ss25_hierarchical_multiscale_image_classification_tpu.visualization import (
+            visualize_and_save_wsi,
+        )
+
+        level = int(args.patch_level) if args.patch_level != "all" else 3
+        name = slide_name(os.path.basename(args.wsi_viz))
+        visualize_and_save_wsi(
+            args.wsi_viz,
+            annotation_path_for(cfg.data, name),
+            os.path.join(cfg.models_dir, "wsi_viz", name),
+            level=level,
+        )
 
     if args.run_evaluation:
         log.info("Running CAMELYON16 evaluation script.")

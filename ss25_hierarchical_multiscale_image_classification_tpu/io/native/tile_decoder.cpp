@@ -292,6 +292,8 @@ int hipac_read_regions(void* handle, int level, const int64_t* coords,
 
 // Write a tiled pyramidal TIFF (fixture generator / interop artifact).
 // levels: n_levels pointers to RGB uint8 buffers of ws[i] x hs[i].
+// compression: 0 = none, 1 = deflate (lossless), 2 = JPEG (the CAMELYON16
+// production encoding — exercises the same decode path as real slides).
 int hipac_write_pyramid(const char* path, const uint8_t** levels,
                         const int64_t* ws, const int64_t* hs, int n_levels,
                         int tile_size, int use_deflate) {
@@ -310,8 +312,14 @@ int hipac_write_pyramid(const char* path, const uint8_t** levels,
     TIFFSetField(tif, TIFFTAG_ORIENTATION, ORIENTATION_TOPLEFT);
     TIFFSetField(tif, TIFFTAG_PLANARCONFIG, PLANARCONFIG_CONTIG);
     TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
-    TIFFSetField(tif, TIFFTAG_COMPRESSION,
-                 use_deflate ? COMPRESSION_ADOBE_DEFLATE : COMPRESSION_NONE);
+    if (use_deflate == 2) {
+      TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_JPEG);
+      TIFFSetField(tif, TIFFTAG_JPEGQUALITY, 90);
+    } else if (use_deflate == 1) {
+      TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_ADOBE_DEFLATE);
+    } else {
+      TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_NONE);
+    }
     TIFFSetField(tif, TIFFTAG_TILEWIDTH, static_cast<uint32_t>(tile_size));
     TIFFSetField(tif, TIFFTAG_TILELENGTH, static_cast<uint32_t>(tile_size));
     if (lvl > 0) TIFFSetField(tif, TIFFTAG_SUBFILETYPE, FILETYPE_REDUCEDIMAGE);

@@ -123,12 +123,16 @@ def write_pyramidal_tiff(
     path: str,
     levels: list[np.ndarray],
     tile_size: int = 256,
-    deflate: bool = True,
+    compression: str = "deflate",
 ) -> None:
-    """Write a tiled pyramidal BigTIFF (fixtures + artifact interop)."""
+    """Write a tiled pyramidal BigTIFF (fixtures + artifact interop).
+
+    ``compression``: "none" | "deflate" (lossless) | "jpeg" (the CAMELYON16
+    production encoding)."""
     lib = native_lib.get_lib()
     if lib is None:
         raise RuntimeError("native TIFF writer unavailable")
+    comp = {"none": 0, "deflate": 1, "jpeg": 2}[compression]
     levels = [np.ascontiguousarray(lv, np.uint8) for lv in levels]
     n = len(levels)
     ptrs = (ctypes.POINTER(ctypes.c_uint8) * n)(
@@ -137,7 +141,7 @@ def write_pyramidal_tiff(
     ws = (ctypes.c_int64 * n)(*[lv.shape[1] for lv in levels])
     hs = (ctypes.c_int64 * n)(*[lv.shape[0] for lv in levels])
     rc = lib.hipac_write_pyramid(
-        path.encode(), ptrs, ws, hs, n, tile_size, 1 if deflate else 0
+        path.encode(), ptrs, ws, hs, n, tile_size, comp
     )
     if rc != 0:
         raise IOError(f"write_pyramidal_tiff failed: {native_lib.last_error()}")

@@ -185,3 +185,30 @@ def test_sliding_window_on_tiff(tiff_case):
     )
     assert probs.shape == (grid.ny, grid.nx)
     assert (probs >= 0).all() and (probs <= 1).all()
+
+
+def test_jpeg_compressed_tiff_roundtrip(tmp_path):
+    """JPEG-in-TIFF (CAMELYON16's production encoding) decodes through the
+    same RGBA tile path as real slides; lossy, so compare approximately."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.synthetic import (
+        build_pyramid,
+        make_level0,
+        tumor_spec,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.tiff_slide import (
+        TiffSlide,
+        write_pyramidal_tiff,
+    )
+
+    level0, _ = make_level0(tumor_spec(width=512, height=384, seed=12))
+    levels = build_pyramid(level0, 3)
+    path = str(tmp_path / "jpeg_case.tif")
+    write_pyramidal_tiff(path, levels, tile_size=128, compression="jpeg")
+
+    slide = TiffSlide(path)
+    assert slide.level_count == 3
+    region = slide.read_region((0, 0), 1, slide.level_dimensions[1])
+    ref = levels[1].astype(np.float64)
+    err = np.abs(region.astype(np.float64) - ref).mean()
+    assert err < 6.0, f"JPEG roundtrip mean abs err too high: {err}"
+    slide.close()
