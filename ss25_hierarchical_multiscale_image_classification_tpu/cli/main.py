@@ -257,6 +257,25 @@ def main(argv=None) -> int:
     if args.prepare:
         prepare_data(cfg.data)
 
+    if args.validation:
+        # the split is computed deterministically on the fly; report it
+        # (reference's --validation materialized a val set, main.py:1078)
+        from ss25_hierarchical_multiscale_image_classification_tpu.data.datasets import (
+            slide_level_split,
+        )
+        from ss25_hierarchical_multiscale_image_classification_tpu.data.manifest import (
+            load_or_scan_manifest,
+        )
+
+        level = int(args.patch_level) if args.patch_level != "all" else 3
+        manifest = load_or_scan_manifest(cfg.data.patches_dir, level)
+        train_slides, val_slides = slide_level_split(
+            manifest.slides(), cfg.data.val_fraction, cfg.data.split_seed
+        )
+        log.info("Validation split (level %d): %d train slides %s / "
+                 "%d val slides %s", level, len(train_slides), train_slides,
+                 len(val_slides), val_slides)
+
     if args.validate:
         level = int(args.patch_level) if args.patch_level != "all" else 3
         from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.features_eval import (

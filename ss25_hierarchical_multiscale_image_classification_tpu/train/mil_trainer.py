@@ -107,7 +107,7 @@ def train_mil_classifier(
     rng = jax.random.key(cfg.train.seed + 5)
     history = []
     for epoch in range(epochs):
-        total_loss, correct, count = 0.0, 0.0, 0.0
+        step_out = []  # device scalars; fetched once per epoch
         for feats, mask, labels, valid in batches:
             rng, step_rng = jax.random.split(rng)
             params, opt_state, loss, c, n = train_step(
@@ -115,9 +115,11 @@ def train_mil_classifier(
                 jnp.asarray(feats), jnp.asarray(mask),
                 jnp.asarray(labels), jnp.asarray(valid),
             )
-            total_loss += float(loss)
-            correct += float(c)
-            count += float(n)
+            step_out.append((loss, c, n))
+        fetched = jax.device_get(step_out)
+        total_loss = float(sum(v[0] for v in fetched))
+        correct = float(sum(v[1] for v in fetched))
+        count = float(sum(v[2] for v in fetched))
         acc = correct / max(count, 1.0)
         history.append({"epoch": epoch, "loss": total_loss, "acc": acc})
         log.info("MIL epoch %d/%d: loss %.4f acc %.4f", epoch + 1, epochs,

@@ -113,7 +113,7 @@ def train_multiscale_classifier(
     history = []
     for epoch in range(epochs):
         t0 = time.perf_counter()
-        total, correct, count = 0.0, 0.0, 0.0
+        step_out = []  # device scalars; fetched once per epoch
         for imgs, labels, valid in dataset.batches(
             batch_size, shuffle=True, seed=cfg.train.seed + epoch
         ):
@@ -122,9 +122,11 @@ def train_multiscale_classifier(
             params, batch_stats, opt_state, loss, c, n = train_step(
                 params, batch_stats, opt_state, batch, labels_d, valid_d
             )
-            total += float(loss)
-            correct += float(c)
-            count += float(n)
+            step_out.append((loss, c, n))
+        fetched = jax.device_get(step_out)
+        total = float(sum(v[0] for v in fetched))
+        correct = float(sum(v[1] for v in fetched))
+        count = float(sum(v[2] for v in fetched))
         acc = correct / max(count, 1.0)
         history.append({"epoch": epoch, "loss": total, "acc": acc})
         log.info(

@@ -142,14 +142,15 @@ def pretrain_simclr(
 
     for epoch in range(epochs):
         t0 = time.perf_counter()
-        total, steps = 0.0, 0
+        losses = []  # device scalars; fetched once per epoch (async dispatch)
         for imgs, _labels, _valid in batches:
             rng, step_rng = jax.random.split(rng)
             imgs = shard_batch(mesh, imgs)
             state, loss = train_step(state, step_rng, imgs)
-            total += float(loss)
-            steps += 1
-        epoch_loss = total / max(steps, 1)
+            losses.append(loss)
+        epoch_loss = (
+            float(sum(jax.device_get(losses))) / len(losses) if losses else 0.0
+        )
         log.info(
             "SimCLR epoch %d/%d: loss %.4f (%.1fs)",
             epoch + 1, epochs, epoch_loss, time.perf_counter() - t0,

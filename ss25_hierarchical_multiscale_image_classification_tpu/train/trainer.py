@@ -162,7 +162,10 @@ class Trainer:
         self.history: list[dict] = []
 
     def train_epoch(self, epoch: int) -> dict:
-        total_loss, correct, count, steps = 0.0, 0.0, 0.0, 0
+        # Metrics stay on device until epoch end: a per-step float() fetch
+        # would synchronize every step, serializing host batch gathering
+        # with device compute (jit dispatch is async).
+        step_metrics: list[dict] = []
         t0 = time.perf_counter()
         for imgs, labels, valid in self.batch_iter:
             self.rng, step_rng = jax.random.split(self.rng)
@@ -172,15 +175,15 @@ class Trainer:
             self.state, metrics = self.train_step(
                 self.state, step_rng, *batch
             )
-            total_loss += float(metrics["loss"])
-            correct += float(metrics["correct"])
-            count += float(metrics["count"])
-            steps += 1
+            step_metrics.append(metrics)
+        totals = jax.device_get(
+            jax.tree.map(lambda *xs: sum(xs), *step_metrics)
+        ) if step_metrics else {"loss": 0.0, "correct": 0.0, "count": 0.0}
         return {
             "epoch": epoch,
-            "train_loss": total_loss,
-            "train_acc": correct / max(count, 1.0),
-            "steps": steps,
+            "train_loss": float(totals["loss"]),
+            "train_acc": float(totals["correct"]) / max(float(totals["count"]), 1.0),
+            "steps": len(step_metrics),
             "seconds": time.perf_counter() - t0,
         }
 
