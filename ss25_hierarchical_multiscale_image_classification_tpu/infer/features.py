@@ -87,7 +87,11 @@ def run_feature_extraction(
     )
     step = make_feature_step(model)
 
-    batches = BatchIterator(dataset, batch_size, shuffle=False)
+    from ss25_hierarchical_multiscale_image_classification_tpu.data.prefetch import (
+        Prefetcher,
+    )
+
+    batches = Prefetcher(BatchIterator(dataset, batch_size, shuffle=False))
     feats_out: list[np.ndarray] = []
     n_total = len(dataset)
     with Timer(f"feature_extraction[{n_total} patches]", log):

@@ -165,9 +165,13 @@ class Trainer:
         # Metrics stay on device until epoch end: a per-step float() fetch
         # would synchronize every step, serializing host batch gathering
         # with device compute (jit dispatch is async).
+        from ss25_hierarchical_multiscale_image_classification_tpu.data.prefetch import (
+            Prefetcher,
+        )
+
         step_metrics: list[dict] = []
         t0 = time.perf_counter()
-        for imgs, labels, valid in self.batch_iter:
+        for imgs, labels, valid in Prefetcher(self.batch_iter, depth=2):
             self.rng, step_rng = jax.random.split(self.rng)
             batch = shard_batch(
                 self.mesh, (imgs, labels, valid)
