@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
     # --- reference flag surface (src/main.py:1074-1093) ---
     parser.add_argument("--download", action="store_true",
                         help="Download CAMELYON16 dataset")
+    parser.add_argument("--base_dir", type=str, default=None,
+                        help="Base directory for downloaded files "
+                             "(README-documented alias of --data_dir)")
+    parser.add_argument("--check_structure", action="store_true",
+                        help="Check the data directory structure")
     parser.add_argument("--remote", action="store_true",
                         help="Download the full dataset (not the 1-per-class subset)")
     parser.add_argument("-p", "--patch", action="store_true",
@@ -136,7 +141,7 @@ def _config_from_args(args) -> Config:
             cfg = Config.from_dict(json.load(f))
     else:
         cfg = Config()
-    data_dir = args.data_dir or (
+    data_dir = args.data_dir or args.base_dir or (
         cfg.data.data_dir
         if getattr(args, "config", None)
         else os.path.join(os.getcwd(), "data", "camelyon16")
@@ -178,6 +183,14 @@ def main(argv=None) -> int:
 
         log.info("Checking downloaded files for corruption...")
         check_good_files(cfg.data.patches_dir)
+        return 0
+
+    if args.check_structure:
+        from ss25_hierarchical_multiscale_image_classification_tpu.utils.structure import (
+            check_structure,
+        )
+
+        check_structure(cfg.data)
         return 0
 
     if args.download:

@@ -77,16 +77,13 @@ class PatchGrid:
 
     @property
     def nx(self) -> int:
-        """Number of grid columns with top-left inside the image."""
-        return len(range(0, self.padded_width, self.stride)) - sum(
-            1 for x in range(0, self.padded_width, self.stride) if x >= self.width
-        )
+        """Number of grid columns with top-left inside the image
+        (= positions 0, stride, 2·stride, ... strictly below width)."""
+        return -(-self.width // self.stride)
 
     @property
     def ny(self) -> int:
-        return len(range(0, self.padded_height, self.stride)) - sum(
-            1 for y in range(0, self.padded_height, self.stride) if y >= self.height
-        )
+        return -(-self.height // self.stride)
 
     @property
     def num_patches(self) -> int:

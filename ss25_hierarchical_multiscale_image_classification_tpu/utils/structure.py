@@ -95,6 +95,32 @@ def check_good_files(
     return bad
 
 
+def check_structure(data) -> dict[str, bool]:
+    """Report the expected data-directory layout (the README-documented
+    ``--check_structure`` the reference never implemented)."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.data.extract import (
+        list_slides,
+    )
+
+    report = {
+        "train/img": os.path.isdir(data.train_img_dir),
+        "test/img": os.path.isdir(data.test_img_dir),
+        "annotations": os.path.isdir(data.annotations_dir),
+        "patches": os.path.isdir(data.patches_dir),
+        "features": os.path.isdir(data.features_dir),
+    }
+    for name, ok in report.items():
+        (log.info if ok else log.warning)(
+            "%s: %s", name, "present" if ok else "MISSING"
+        )
+    log.info(
+        "train slides: %d, test slides: %d",
+        len(list_slides(data.train_img_dir)),
+        len(list_slides(data.test_img_dir)),
+    )
+    return report
+
+
 def count_tumor_patches(patches_dir: str) -> dict[int, dict[str, int]]:
     """Per-level tumor/normal census, warning when a ``normal_*`` slide
     contains tumor patches (``src/main.py:763-803``)."""

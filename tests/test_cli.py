@@ -110,3 +110,11 @@ def test_cli_config_file(tmp_path):
     )
     cfg = _config_from_args(args)
     assert cfg.train.batch_size == 32 and cfg.simclr.batch_size == 32
+
+
+def test_check_structure_flag(synthetic_case, capsys):
+    from ss25_hierarchical_multiscale_image_classification_tpu.cli.main import main
+
+    assert main(["--check_structure", "--data_dir", synthetic_case]) == 0
+    # --base_dir is the README-documented alias of --data_dir
+    assert main(["--check_structure", "--base_dir", synthetic_case]) == 0
