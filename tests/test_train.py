@@ -154,3 +154,18 @@ def test_simclr_pretrain_one_epoch(tiny_train_setup, tmp_path):
     )
     assert "encoder" in variables["params"]
     assert os.path.exists(os.path.join(str(tmp_path / "models"), "simclr_encoder"))
+
+
+def test_simclr_pallas_loss_impl(tiny_train_setup, tmp_path):
+    """The pallas loss_impl config path wires into the SimCLR step
+    (interpret mode on CPU)."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.train.simclr_trainer import (
+        pretrain_simclr,
+    )
+
+    cfg = Config(models_dir=str(tmp_path / "models"))
+    cfg.simclr.batch_size = 8
+    cfg.simclr.epochs = 1
+    cfg.simclr.loss_impl = "pallas"
+    variables = pretrain_simclr(cfg, dataset=tiny_train_setup, input_size=64)
+    assert "encoder" in variables["params"]
