@@ -42,16 +42,18 @@ def main():
           f"[{(labels == 0).sum()} {(labels == 1).sum()}]")
 
     result = validate_features(feats, labels)
-    print(f"PCA explained variance: {result['pca_explained_variance']}")
-    print(f"PCA class means: {result['pca_class_means']}")
+    if "pca_explained_variance" in result:
+        print(f"PCA explained variance: {result['pca_explained_variance']}")
+        print(f"PCA class means: {result['pca_class_means']}")
     if "tsne_class_means" in result:
         print(f"t-SNE class means: {result['tsne_class_means']}")
     if "logreg_accuracy" in result:
         print(f"Logistic Regression Accuracy: {result['logreg_accuracy']:.4f}")
 
     os.makedirs(args.out, exist_ok=True)
-    plot_pca(feats, labels, os.path.join(args.out, "pca_patch_features.png"))
-    plot_tsne(feats, labels, os.path.join(args.out, "tsne_patch_features.png"))
+    if len(feats) >= 5:
+        plot_pca(feats, labels, os.path.join(args.out, "pca_patch_features.png"))
+        plot_tsne(feats, labels, os.path.join(args.out, "tsne_patch_features.png"))
     if "logreg_confusion" in result:
         plot_logreg_confusion(
             result["logreg_confusion"],

@@ -47,14 +47,16 @@ def validate_features(
     labels = np.asarray(labels)
     classes = np.unique(labels)
 
-    pca = PCA(n_components=2)
-    pca_coords = pca.fit_transform(features)
-    result["pca_explained_variance"] = pca.explained_variance_ratio_.tolist()
-    result["pca_class_means"] = {
-        int(c): pca_coords[labels == c].mean(axis=0).tolist() for c in classes
-    }
-    result["pca_coords"] = pca_coords
-    log.info("PCA explained variance: %s", result["pca_explained_variance"])
+    n_comp = min(2, len(features), features.shape[1])
+    if n_comp >= 1:
+        pca = PCA(n_components=n_comp)
+        pca_coords = pca.fit_transform(features)
+        result["pca_explained_variance"] = pca.explained_variance_ratio_.tolist()
+        result["pca_class_means"] = {
+            int(c): pca_coords[labels == c].mean(axis=0).tolist() for c in classes
+        }
+        result["pca_coords"] = pca_coords
+        log.info("PCA explained variance: %s", result["pca_explained_variance"])
 
     if run_tsne and len(features) >= 5:
         from sklearn.manifold import TSNE
