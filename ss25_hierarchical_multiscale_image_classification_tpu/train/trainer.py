@@ -213,11 +213,21 @@ class Trainer:
         checkpoint_every: int | None = None,
         checkpoint_prefix: str | None = None,
         history_path: str | None = None,
+        save_best: bool = True,
     ) -> list[dict]:
+        best_val = -1.0
         for epoch in range(num_epochs):
             stats = self.train_epoch(epoch)
             stats["val_acc"] = self.evaluate()
             self.history.append(stats)
+            if (
+                save_best
+                and checkpoint_prefix
+                and np.isfinite(stats["val_acc"])
+                and stats["val_acc"] > best_val
+            ):
+                best_val = stats["val_acc"]
+                save_model(f"{checkpoint_prefix}_best", self.variables())
             log.info(
                 "Epoch %d/%d, Train Loss: %.4f, Train Acc: %.4f, Val Acc: %.4f (%.1fs)",
                 epoch + 1, num_epochs, stats["train_loss"],
