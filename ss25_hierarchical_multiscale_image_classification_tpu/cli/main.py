@@ -107,6 +107,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--wsi_viz", type=str, default=None,
                         help="Render annotation-mask QA figures for a slide "
                              "path (the standalone visualizer)")
+    parser.add_argument("--profile", action="store_true",
+                        help="Capture a jax.profiler trace around compute "
+                             "stages (written under <log_dir>/profile)")
     parser.add_argument("--data_dir", type=str, default=None,
                         help="Data root (default: ./data/camelyon16)")
     parser.add_argument("--models_dir", type=str, default=None,
@@ -224,18 +227,30 @@ def main(argv=None) -> int:
                 )
                 return 1
         level = 3 if args.patch_level == "all" else int(args.patch_level)
-        if args.simclr_features:
-            from ss25_hierarchical_multiscale_image_classification_tpu.infer.features import (
-                extract_features_with_simclr,
-            )
+        import contextlib
 
-            extract_features_with_simclr(cfg, level=level)
-        else:
-            from ss25_hierarchical_multiscale_image_classification_tpu.infer.features import (
-                extract_features,
-            )
+        from ss25_hierarchical_multiscale_image_classification_tpu.utils.profiling import (
+            trace,
+        )
 
-            extract_features(cfg, level=level)
+        prof = (
+            trace(os.path.join(cfg.log_dir, "profile"))
+            if args.profile
+            else contextlib.nullcontext()
+        )
+        with prof:
+            if args.simclr_features:
+                from ss25_hierarchical_multiscale_image_classification_tpu.infer.features import (
+                    extract_features_with_simclr,
+                )
+
+                extract_features_with_simclr(cfg, level=level)
+            else:
+                from ss25_hierarchical_multiscale_image_classification_tpu.infer.features import (
+                    extract_features,
+                )
+
+                extract_features(cfg, level=level)
 
     if args.train:
         if not images_downloaded(cfg.data):
