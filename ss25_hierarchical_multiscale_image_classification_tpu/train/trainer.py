@@ -194,18 +194,21 @@ class Trainer:
     def evaluate(self) -> float:
         if self.val_iter is None:
             return float("nan")
-        correct, count = 0.0, 0.0
+        out = []
         for imgs, labels, valid in self.val_iter:
             batch = shard_batch(self.mesh, (imgs, labels, valid))
-            m = eval_step(
-                self.model.apply,
-                self.state.params,
-                self.state.batch_stats,
-                *batch,
+            out.append(
+                eval_step(
+                    self.model.apply,
+                    self.state.params,
+                    self.state.batch_stats,
+                    *batch,
+                )
             )
-            correct += float(m["correct"])
-            count += float(m["count"])
-        return correct / max(count, 1.0)
+        if not out:
+            return float("nan")
+        totals = jax.device_get(jax.tree.map(lambda *xs: sum(xs), *out))
+        return float(totals["correct"]) / max(float(totals["count"]), 1.0)
 
     def fit(
         self,
