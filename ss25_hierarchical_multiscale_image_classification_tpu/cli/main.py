@@ -110,6 +110,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile", action="store_true",
                         help="Capture a jax.profiler trace around compute "
                              "stages (written under <log_dir>/profile)")
+    parser.add_argument("--mine_hard_negatives", action="store_true",
+                        help="Harvest high-probability false positives from "
+                             "annotation-free slides into the patch store "
+                             "(retrain afterwards with --train)")
     parser.add_argument("--data_dir", type=str, default=None,
                         help="Data root (default: ./data/camelyon16)")
     parser.add_argument("--models_dir", type=str, default=None,
@@ -359,6 +363,20 @@ def main(argv=None) -> int:
 
         levels = tuple(int(v) for v in args.levels.split(","))
         train_multiscale_classifier(cfg, levels=levels, epochs=args.epochs)
+
+    if args.mine_hard_negatives:
+        from ss25_hierarchical_multiscale_image_classification_tpu.train.checkpoints import (
+            load_model,
+        )
+        from ss25_hierarchical_multiscale_image_classification_tpu.train.hard_negatives import (
+            mine_hard_negatives,
+        )
+
+        level = int(args.patch_level) if args.patch_level != "all" else 3
+        variables = load_model(
+            os.path.join(cfg.models_dir, "resnet18_patch_classifier")
+        )
+        mine_hard_negatives(cfg, variables, level=level)
 
     if args.predict_slide:
         from ss25_hierarchical_multiscale_image_classification_tpu.infer.overlay import (
