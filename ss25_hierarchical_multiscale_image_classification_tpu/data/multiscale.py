@@ -1,0 +1,142 @@
+"""Co-located multiscale patch sampling.
+
+The reference extracts per-level patch grids whose cells align across levels
+— the level-L patch size 224·2^(3-L) at downsample 2^L means grid cell
+(i, j) covers the SAME level-0 square at every level (``src/main.py:614``) —
+but only ever trains on one level at a time. This module joins the per-level
+manifests on (slide, i, j) so a model can see all magnifications of one
+location at once (the "hierarchical multiscale" the project is named for).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from ss25_hierarchical_multiscale_image_classification_tpu.config import (
+    INPUT_SIZE,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.data.manifest import (
+    PatchManifest,
+    load_or_scan_manifest,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.data.patch_store import (
+    PatchReader,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.grid.pyramid import (
+    patch_size_for_level,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.logging_utils import (
+    get_logger,
+)
+
+log = get_logger("data.multiscale")
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiscaleSample:
+    slide: str
+    cell: tuple[int, int]  # (i, j) grid cell shared by all levels
+    indices: dict[int, int]  # level → row in that level's manifest
+    label: int  # tumor iff tumor at ANY level (finest annotation wins)
+
+
+def join_levels(
+    manifests: dict[int, PatchManifest],
+) -> list[MultiscaleSample]:
+    """Inner-join manifests on (slide, grid cell). A cell is kept only when
+    every requested level stored a (tissue) patch there."""
+    levels = sorted(manifests)
+    maps: dict[int, dict[tuple[str, int, int], int]] = {}
+    for lvl in levels:
+        ps = patch_size_for_level(lvl)
+        maps[lvl] = {
+            (rec.slide, rec.x // ps, rec.y // ps): i
+            for i, rec in enumerate(manifests[lvl])
+        }
+    base = levels[0]
+    out = []
+    for key, base_idx in maps[base].items():
+        rows = {base: base_idx}
+        for lvl in levels[1:]:
+            idx = maps[lvl].get(key)
+            if idx is None:
+                break
+            rows[lvl] = idx
+        else:
+            label = max(
+                manifests[lvl][rows[lvl]].label for lvl in levels
+            )
+            out.append(
+                MultiscaleSample(
+                    slide=key[0], cell=(key[1], key[2]),
+                    indices=rows, label=label,
+                )
+            )
+    log.info(
+        "multiscale join over levels %s: %d aligned cells", levels, len(out)
+    )
+    return out
+
+
+class MultiscaleDataset:
+    """Batches of co-located patches: dict[level → (B, S, S, 3) uint8]."""
+
+    def __init__(
+        self,
+        manifests: dict[int, PatchManifest],
+        resize_to: int = INPUT_SIZE,
+    ):
+        self.levels = sorted(manifests)
+        self.manifests = manifests
+        self.readers = {lvl: PatchReader(m) for lvl, m in manifests.items()}
+        self.samples = join_levels(manifests)
+        self.resize_to = resize_to
+
+    @classmethod
+    def from_patches_dir(
+        cls, patches_dir: str, levels: Sequence[int] = (2, 3),
+        resize_to: int = INPUT_SIZE,
+    ) -> "MultiscaleDataset":
+        manifests = {
+            lvl: load_or_scan_manifest(patches_dir, lvl) for lvl in levels
+        }
+        return cls(manifests, resize_to=resize_to)
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    @property
+    def labels(self) -> np.ndarray:
+        return np.array([s.label for s in self.samples], np.int32)
+
+    def read_batch(
+        self, indices: Sequence[int]
+    ) -> tuple[dict[int, np.ndarray], np.ndarray]:
+        imgs: dict[int, np.ndarray] = {}
+        for lvl in self.levels:
+            rows = [self.samples[int(i)].indices[lvl] for i in indices]
+            imgs[lvl] = self.readers[lvl].read_batch(
+                rows, resize_to=self.resize_to
+            )
+        labels = self.labels[np.asarray(indices, np.int64)]
+        return imgs, labels
+
+    def batches(
+        self, batch_size: int, shuffle: bool = True, seed: int = 0
+    ) -> Iterator[tuple[dict[int, np.ndarray], np.ndarray, np.ndarray]]:
+        order = np.arange(len(self.samples))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for start in range(0, len(order), batch_size):
+            idx = order[start : start + batch_size]
+            valid = np.ones((batch_size,), np.float32)
+            if len(idx) < batch_size:
+                valid[len(idx):] = 0.0
+                idx = np.concatenate(
+                    [idx, np.resize(order, batch_size - len(idx))]
+                )
+            imgs, labels = self.read_batch(idx)
+            yield imgs, labels.astype(np.int32), valid
