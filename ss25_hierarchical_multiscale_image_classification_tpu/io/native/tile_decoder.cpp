@@ -20,6 +20,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <mutex>
 #include <string>
 #include <thread>
@@ -36,16 +37,26 @@ struct LevelInfo {
   uint16_t dir_index = 0;
 };
 
+// One lazily-opened TIFF* plus the mutex that serializes every use of it
+// (TIFFSetDirectory + tile reads mutate per-handle state, so a TIFF* must
+// never be shared between threads without exclusion). Slot 0 is reserved
+// for single-region reads; batch workers use slots 1..N, so the two APIs
+// can run concurrently on one Handle without racing on a shared TIFF*.
+struct Slot {
+  TIFF* tif = nullptr;
+  std::mutex mu;
+};
+
 struct Handle {
   std::string path;
   std::vector<LevelInfo> levels;
-  // one TIFF* per worker thread, created on demand
-  std::vector<TIFF*> tiffs;
-  std::mutex pool_mutex;
+  // deque: growth never invalidates Slot addresses held by workers
+  std::deque<Slot> slots;
+  std::mutex pool_mutex;  // guards deque growth only
 
   ~Handle() {
-    for (TIFF* t : tiffs)
-      if (t) TIFFClose(t);
+    for (auto& s : slots)
+      if (s.tif) TIFFClose(s.tif);
   }
 };
 
@@ -92,22 +103,19 @@ bool scan_levels(TIFF* tif, std::vector<LevelInfo>* levels) {
   return !levels->empty();
 }
 
-// Fetch a worker-slot TIFF handle (slot < tiffs.size()).
-TIFF* slot_tiff(Handle* h, size_t slot) {
-  {
-    std::lock_guard<std::mutex> lock(h->pool_mutex);
-    if (slot >= h->tiffs.size()) h->tiffs.resize(slot + 1, nullptr);
-    if (h->tiffs[slot]) return h->tiffs[slot];
-  }
-  TIFF* t = open_tiff(h->path);
-  if (!t) return nullptr;
+// Fetch the Slot for a worker index, growing the pool if needed. The
+// returned pointer is stable; callers must hold slot->mu while touching
+// slot->tif (opening it lazily included).
+Slot* acquire_slot(Handle* h, size_t idx) {
   std::lock_guard<std::mutex> lock(h->pool_mutex);
-  if (h->tiffs[slot]) {  // lost a race; keep the winner
-    TIFFClose(t);
-  } else {
-    h->tiffs[slot] = t;
-  }
-  return h->tiffs[slot];
+  while (h->slots.size() <= idx) h->slots.emplace_back();
+  return &h->slots[idx];
+}
+
+// Open the slot's TIFF if not yet open. Caller holds slot->mu.
+TIFF* slot_tiff_locked(Handle* h, Slot* s) {
+  if (!s->tif) s->tif = open_tiff(h->path);
+  return s->tif;
 }
 
 // Decode one region of one level into out (h x w x 3, RGB, row-major).
@@ -206,7 +214,7 @@ void* hipac_open(const char* path) {
     delete h;
     return nullptr;
   }
-  h->tiffs.push_back(tif);  // slot 0
+  acquire_slot(h, 0)->tif = tif;  // slot 0: reserved for single-region reads
   return h;
 }
 
@@ -232,12 +240,13 @@ int hipac_read_region(void* handle, int level, int64_t x, int64_t y,
     set_err("bad level");
     return -1;
   }
-  TIFF* tif = slot_tiff(h, 0);
+  Slot* s = acquire_slot(h, 0);
+  std::lock_guard<std::mutex> lock(s->mu);
+  TIFF* tif = slot_tiff_locked(h, s);
   if (!tif) {
     set_err("cannot open worker TIFF handle");
     return -1;
   }
-  std::lock_guard<std::mutex> lock(h->pool_mutex);
   return read_region_level(tif, h->levels[level], x, y, w, hh, out) ? 0 : -1;
 }
 
@@ -263,15 +272,20 @@ int hipac_read_regions(void* handle, int level, const int64_t* coords,
   std::atomic<int64_t> next(0);
   std::atomic<int> failures(0);
 
+  // Batch workers use slots 1..workers (slot 0 stays free for concurrent
+  // single-region reads); each decode holds its slot's mutex, so two
+  // overlapping batch calls on one handle interleave safely too.
   auto work = [&](int slot) {
-    TIFF* tif = slot_tiff(h, static_cast<size_t>(slot));
-    if (!tif) {
-      failures.fetch_add(1);
-      return;
-    }
+    Slot* s = acquire_slot(h, static_cast<size_t>(slot) + 1);
     for (;;) {
       const int64_t i = next.fetch_add(1);
       if (i >= n) break;
+      std::lock_guard<std::mutex> lock(s->mu);
+      TIFF* tif = slot_tiff_locked(h, s);
+      if (!tif) {
+        failures.fetch_add(1);
+        continue;
+      }
       if (!read_region_level(tif, lv, coords[2 * i], coords[2 * i + 1], w, hh,
                              out + i * region_bytes)) {
         failures.fetch_add(1);

@@ -74,6 +74,7 @@ def nt_xent_loss(
     z_j,
     temperature: float = 0.5,
     axis_name: str | None = None,
+    valid=None,
 ):
     """Normalized-temperature cross-entropy (``src/models/simclr.py:31-54``).
 
@@ -82,28 +83,38 @@ def nt_xent_loss(
             when ``axis_name`` is given, the full batch otherwise.
         temperature: τ (reference default 0.5).
         axis_name: mesh axis to all-gather over for the global loss.
+        valid: optional (n,) bool mask of real examples in the (local) batch;
+            False rows (e.g. a wrap-padded final batch) drop out of both the
+            loss mean and every other row's softmax denominator.
 
     Returns:
-        scalar loss (global mean over all 2N rows).
+        scalar loss (global mean over all valid 2N rows).
     """
     z_i = _normalize(z_i.astype(jnp.float32))
     z_j = _normalize(z_j.astype(jnp.float32))
     n = z_i.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    valid = valid.astype(bool)
 
     if axis_name is None:
         full_i, full_j = z_i, z_j
+        full_valid = valid
         shard = 0
         num_shards = 1
     else:
         # (K, n, D) → (N, D); tiled=False keeps shard order by axis index
         full_i = jax.lax.all_gather(z_i, axis_name).reshape(-1, z_i.shape[-1])
         full_j = jax.lax.all_gather(z_j, axis_name).reshape(-1, z_j.shape[-1])
+        full_valid = jax.lax.all_gather(valid, axis_name).reshape(-1)
         shard = jax.lax.axis_index(axis_name)
         num_shards = jax.lax.axis_size(axis_name)
 
     N = n * num_shards
     z_full = jnp.concatenate([full_i, full_j], axis=0)  # (2N, D)
     z_local = jnp.concatenate([z_i, z_j], axis=0)  # (2n, D)
+    valid2_full = jnp.concatenate([full_valid, full_valid])  # (2N,)
+    valid2_local = jnp.concatenate([valid, valid])  # (2n,)
 
     # global row indices of the local rows: [g, g+1, ..] and [N+g, ..]
     g = shard * n
@@ -119,12 +130,16 @@ def nt_xent_loss(
         / temperature
     )  # (2n, 2N)
     cols = jnp.arange(2 * N)[None, :]
-    self_mask = cols == local_rows[:, None]
-    sim = jnp.where(self_mask, _NEG_INF, sim)
+    dead = (cols == local_rows[:, None]) | ~valid2_full[None, :]
+    sim = jnp.where(dead, _NEG_INF, sim)
 
     pos = jnp.take_along_axis(sim, pos_cols[:, None], axis=1)[:, 0]
-    row_loss = -pos + jax.nn.logsumexp(sim, axis=1)
-    loss = jnp.mean(row_loss)
+    row_loss = jnp.where(
+        valid2_local, -pos + jax.nn.logsumexp(sim, axis=1), 0.0
+    )
+    loss = jnp.sum(row_loss)
+    n_valid = jnp.sum(valid2_local)  # local count; psum'd to the global count
     if axis_name is not None:
-        loss = jax.lax.pmean(loss, axis_name)
-    return loss
+        loss = jax.lax.psum(loss, axis_name)
+        n_valid = jax.lax.psum(n_valid, axis_name)
+    return loss / jnp.maximum(n_valid, 1)

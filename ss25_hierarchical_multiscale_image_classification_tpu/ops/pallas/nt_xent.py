@@ -53,8 +53,8 @@ def _row_ids_col(row0, block_r):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(z_ref, pos_ref, loss_ref, m_ref, l_ref, *, block_c, n_total,
-                temperature):
+def _fwd_kernel(z_ref, pos_ref, pos_row_ref, loss_ref, m_ref, l_ref, *,
+                block_c, n_total, temperature):
     r = pl.program_id(0)
     block_r = loss_ref.shape[0]
     row0 = r * block_r
@@ -69,6 +69,7 @@ def _fwd_kernel(z_ref, pos_ref, loss_ref, m_ref, l_ref, *, block_c, n_total,
         m, l, pos_s = carry  # each (BR, 1)
         col0 = c * block_c
         z_cols = z_ref[pl.ds(col0, block_c), :]  # (BC, D)
+        pos_c = pos_row_ref[:, pl.ds(col0, block_c)]  # (1, BC)
         s = (
             jax.lax.dot_general(
                 z_rows, z_cols,
@@ -80,7 +81,11 @@ def _fwd_kernel(z_ref, pos_ref, loss_ref, m_ref, l_ref, *, block_c, n_total,
         col_ids = col0 + jax.lax.broadcasted_iota(
             jnp.int32, (block_r, block_c), 1
         )
-        s = jnp.where(col_ids == row_ids, _NEG_INF, s)
+        # mask self-similarity AND dead columns (pos_idx < 0): those are
+        # either tail alignment padding (zero vectors whose exp(0/tau - m)
+        # would inflate every real row's logsumexp denominator) or rows the
+        # caller invalidated (e.g. a wrap-padded final batch).
+        s = jnp.where((col_ids == row_ids) | (pos_c < 0), _NEG_INF, s)
 
         # positive score if its column lands in this block
         hit = col_ids == pos_idx
@@ -122,11 +127,12 @@ def _run_fwd(z, pos_idx, temperature, block_r, block_c):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # z (n, D) resident
             pl.BlockSpec(memory_space=pltpu.VMEM),  # pos (n, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # pos row layout (1, n)
         ],
         out_specs=(row_spec, row_spec, row_spec),
         out_shape=out_shapes,
         interpret=_interpret(),
-    )(z, pos_idx)
+    )(z, pos_idx, pos_idx.reshape(1, n))
 
 
 # ---------------------------------------------------------------------------
@@ -170,13 +176,15 @@ def _bwd_kernel(z_ref, pos_ref, m_ref, l_ref, g_ref,
         col_ids = col0 + jax.lax.broadcasted_iota(
             jnp.int32, (block_r, block_c), 1
         )
-        self_mask = col_ids == row_ids
+        # exclude self-similarity plus dead rows/columns (pos_idx < 0),
+        # mirroring the forward mask
+        dead = (col_ids == row_ids) | (pos_c < 0) | (pos_r < 0)
 
         # row term: A[r, c] = g_r (p_rc - 1{c=pos_r})
-        p_rc = jnp.where(self_mask, 0.0, jnp.exp(s - m_r) / l_r)
+        p_rc = jnp.where(dead, 0.0, jnp.exp(s - m_r) / l_r)
         a_rc = g_r * (p_rc - (col_ids == pos_r).astype(jnp.float32))
         # column term: A[c, r] = g_c (p_cr - 1{r=pos_c}); s_cr = s_rc (sym)
-        p_cr = jnp.where(self_mask, 0.0, jnp.exp(s - m_c) / l_c)
+        p_cr = jnp.where(dead, 0.0, jnp.exp(s - m_c) / l_c)
         a_cr = g_c * (p_cr - (row_ids == pos_c).astype(jnp.float32))
 
         coeff = a_rc + a_cr  # (BR, BC)
@@ -230,8 +238,10 @@ def _rows_fwd(z, pos_idx, temperature, block_r, block_c):
 
 def _rows_bwd(temperature, block_r, block_c, res, g):
     z, pos_idx, m, l = res
-    dz = _run_bwd(z, pos_idx, m, l, g.astype(jnp.float32), temperature,
-                  block_r, block_c)
+    # dead rows' forward loss is hard-zeroed, so their upstream cotangent
+    # must not leak into the recomputed score pass
+    g = g.astype(jnp.float32) * (pos_idx >= 0)
+    dz = _run_bwd(z, pos_idx, m, l, g, temperature, block_r, block_c)
     return dz, None
 
 
@@ -244,6 +254,7 @@ def nt_xent_loss_pallas(
     temperature: float = 0.5,
     block_r: int = 128,
     block_c: int = 256,
+    valid=None,
 ):
     """Drop-in replacement for ``models.simclr.nt_xent_loss`` (single-host
     global batch): mean NT-Xent over 2N rows at τ=``temperature``.
@@ -251,6 +262,11 @@ def nt_xent_loss_pallas(
     Rows are L2-normalized here (differentiably, in XLA — elementwise) and
     padded to a block multiple; padding rows carry ``pos_idx = -1`` and
     contribute nothing.
+
+    Args:
+        valid: optional (n,) bool — rows where ``valid`` is False (e.g. a
+            wrap-padded final batch) are excluded from both the loss mean and
+            every other row's denominator.
     """
     n = z_i.shape[0]
     z = jnp.concatenate([z_i, z_j], axis=0).astype(jnp.float32)
@@ -260,10 +276,24 @@ def nt_xent_loss_pallas(
     pos_idx = jnp.concatenate(
         [jnp.arange(n, dtype=jnp.int32) + n, jnp.arange(n, dtype=jnp.int32)]
     )
+    if valid is not None:
+        mask2 = jnp.concatenate([valid, valid]).astype(bool)
+        pos_idx = jnp.where(mask2, pos_idx, -1)
+        denom = jnp.maximum(jnp.sum(mask2), 1)
+    else:
+        denom = total
 
-    block_r = min(block_r, max(8, total))
-    block_c = min(block_c, max(8, total))
-    pad = (-total) % np.lcm(block_r, block_c)
+    # Pad rows up to one block_r multiple (never an lcm blowup: 2N=200 with
+    # default blocks pads to 256, not 3200), then shrink block_c to a divisor
+    # of the padded total so the inner column loop tiles it exactly.
+    block_r = min(block_r, max(8, -(-total // 8) * 8))
+    padded = -(-total // block_r) * block_r
+    block_c = min(block_c, padded)
+    while padded % block_c:
+        block_c = block_r if block_c > block_r else int(
+            np.gcd(block_c, padded)
+        )
+    pad = padded - total
     if pad:
         z = jnp.concatenate([z, jnp.zeros((pad, z.shape[1]), z.dtype)])
         pos_idx = jnp.concatenate(
@@ -273,4 +303,4 @@ def nt_xent_loss_pallas(
     loss_rows = _nt_xent_rows(
         z, pos_idx[:, None], float(temperature), block_r, block_c
     )
-    return jnp.sum(loss_rows) / total
+    return jnp.sum(loss_rows) / denom

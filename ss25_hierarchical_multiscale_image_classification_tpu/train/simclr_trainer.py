@@ -68,7 +68,7 @@ def make_simclr_train_step(
         loss_fn_impl = nt_xent_loss
 
     @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=())
-    def train_step(state, rng, imgs_u8):
+    def train_step(state, rng, imgs_u8, valid):
         v1, v2 = simclr_two_views(rng, imgs_u8, out_size=out_size)
 
         def loss_fn(params):
@@ -82,7 +82,9 @@ def make_simclr_train_step(
                 train=True,
                 mutable=["batch_stats"],
             )
-            loss = loss_fn_impl(z1, z2, temperature)
+            # wrap-padded rows (uneven final batch) are masked out of the
+            # loss mean and of every real row's NT-Xent denominator
+            loss = loss_fn_impl(z1, z2, temperature, valid=valid)
             return loss, upd
 
         (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -143,10 +145,10 @@ def pretrain_simclr(
     for epoch in range(epochs):
         t0 = time.perf_counter()
         losses = []  # device scalars; fetched once per epoch (async dispatch)
-        for imgs, _labels, _valid in batches:
+        for imgs, _labels, valid in batches:
             rng, step_rng = jax.random.split(rng)
-            imgs = shard_batch(mesh, imgs)
-            state, loss = train_step(state, step_rng, imgs)
+            imgs, valid = shard_batch(mesh, (imgs, valid))
+            state, loss = train_step(state, step_rng, imgs, valid)
             losses.append(loss)
         epoch_loss = (
             float(sum(jax.device_get(losses))) / len(losses) if losses else 0.0

@@ -212,3 +212,63 @@ def test_jpeg_compressed_tiff_roundtrip(tmp_path):
     err = np.abs(region.astype(np.float64) - ref).mean()
     assert err < 6.0, f"JPEG roundtrip mean abs err too high: {err}"
     slide.close()
+
+
+def test_concurrent_single_and_batch_reads_stress(tiff_case):
+    """Hammer one handle from many Python threads mixing read_region and
+    read_regions (round-1 advisor: slot-0 TIFF* raced between the two APIs;
+    VERDICT next #10: >=8-worker stress). Every result must be byte-exact."""
+    import threading
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.tiff_slide import (
+        TiffSlide,
+    )
+
+    path, levels = tiff_case
+    slide = TiffSlide(path)
+    lvl = 1
+    plane = levels[lvl]
+    rng = np.random.default_rng(11)
+    errors = []
+
+    def expected(x, y, w, h):
+        return plane[y:y + h, x:x + w]
+
+    def single_worker(seed):
+        r = np.random.default_rng(seed)
+        try:
+            for _ in range(40):
+                x = int(r.integers(0, plane.shape[1] - 32))
+                y = int(r.integers(0, plane.shape[0] - 32))
+                got = slide.read_region((x * 2, y * 2), lvl, (32, 32))
+                np.testing.assert_array_equal(got, expected(x, y, 32, 32))
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    def batch_worker(seed):
+        r = np.random.default_rng(seed)
+        try:
+            for _ in range(10):
+                xs = r.integers(0, plane.shape[1] - 64, size=16)
+                ys = r.integers(0, plane.shape[0] - 64, size=16)
+                # read_regions takes LEVEL-space coords (pipeline API)
+                coords = [(int(x), int(y)) for x, y in zip(xs, ys)]
+                out = slide.read_regions(coords, lvl, (64, 64), num_threads=8)
+                for k, (x, y) in enumerate(zip(xs, ys)):
+                    np.testing.assert_array_equal(
+                        out[k], expected(int(x), int(y), 64, 64)
+                    )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=single_worker, args=(100 + i,)) for i in range(4)
+    ] + [
+        threading.Thread(target=batch_worker, args=(200 + i,)) for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    slide.close()
+    assert not errors, errors[:3]
