@@ -121,6 +121,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--store", type=str, default=None,
                         choices=["png", "packed"],
                         help="Patch store format")
+    parser.add_argument("--extract_impl", type=str, default="host",
+                        choices=["host", "device"],
+                        help="Patch extraction implementation: bounded-memory"
+                             " host band streaming, or the on-device XLA"
+                             " program (levels whose plane fits the budget)")
     return parser
 
 
@@ -220,7 +225,10 @@ def main(argv=None) -> int:
 
         for lvl in _levels(args.patch_level):
             extract_patches(
-                cfg.data, level=lvl, store_format=cfg.data.patch_store_format
+                cfg.data,
+                level=lvl,
+                store_format=cfg.data.patch_store_format,
+                impl=args.extract_impl,
             )
 
     if args.extract_features:

@@ -70,6 +70,56 @@ def polygons_to_mask(
     return np.asarray(mask, dtype=np.uint8)
 
 
+def polygons_to_mask_band(
+    polygons_level0: Sequence[np.ndarray],
+    level_dims: tuple[int, int],
+    base_dims: tuple[int, int],
+    x0: int = 0,
+    y0: int = 0,
+    band_w: int | None = None,
+    band_h: int | None = None,
+) -> np.ndarray:
+    """Rasterize only the window ``[x0, x0+band_w) x [y0, y0+band_h)`` of the
+    full-level mask.
+
+    For **y-only shifts** (``x0 == 0``) the result is byte-identical to
+    ``polygons_to_mask(...)[y0:y0+band_h]`` (fuzz-asserted in tests): PIL's
+    scanline fill evaluates x-intersections from y *differences*, which are
+    exact in float64 under integer y translation. X shifts perturb the
+    absolute x values PIL rounds, so ``x0 > 0`` windows can differ from the
+    full-canvas crop by rare single boundary pixels — gigapixel extraction
+    therefore labels via full-width y-slabs (``data/extract.py``) instead of
+    materializing the ~level-sized mask (~21 GB at level 0 of a real slide).
+    """
+    from PIL import Image, ImageDraw
+
+    W, H = int(level_dims[0]), int(level_dims[1])
+    bw = min(band_w if band_w is not None else W - x0, W - x0)
+    bh = min(band_h if band_h is not None else H - y0, H - y0)
+    if bw <= 0 or bh <= 0:
+        return np.zeros((max(bh, 0), max(bw, 0)), np.uint8)
+    mask = Image.new("L", (bw, bh), 0)
+    draw = ImageDraw.Draw(mask)
+    for poly in scale_polygons(polygons_level0, level_dims, base_dims):
+        if len(poly) == 0:
+            continue
+        # bbox cull (pure optimization; ±1 px safety for the 1px outline)
+        xs, ys = poly[:, 0], poly[:, 1]
+        if (
+            xs.max() < x0 - 1
+            or xs.min() > x0 + bw
+            or ys.max() < y0 - 1
+            or ys.min() > y0 + bh
+        ):
+            continue
+        coords = [(int(x) - x0, int(y) - y0) for x, y in poly]
+        if len(coords) < 2:
+            draw.point(coords, fill=255)
+            continue
+        draw.polygon(coords, outline=255, fill=255)
+    return np.asarray(mask, dtype=np.uint8)
+
+
 # ---------------------------------------------------------------------------
 # Jittable device rasterizer
 # ---------------------------------------------------------------------------

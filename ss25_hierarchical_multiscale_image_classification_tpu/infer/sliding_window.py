@@ -109,6 +109,13 @@ def predict_slide(
                 replicate,
             )
 
+            n_dev = int(mesh.devices.size)
+            if batch_size % n_dev:
+                batch_size = -(-batch_size // n_dev) * n_dev
+                log.info(
+                    "batch_size rounded up to %d (multiple of the %d-device mesh)",
+                    batch_size, n_dev,
+                )
             params = replicate(mesh, params)
             batch_stats = replicate(mesh, batch_stats)
             _in_sharding = batch_sharding(mesh)
@@ -167,6 +174,9 @@ def predict_slide(
                         probs[np.asarray(batch_pos)] = p
                         batch_pos = []
             if batch_pos:
+                # white-fill the unused tail: same static shape (no
+                # recompile), no stale rows from the previous batch
+                batch_imgs[len(batch_pos):] = 255
                 p = np.asarray(step(params, batch_stats, _put(batch_imgs)))
                 probs[np.asarray(batch_pos)] = p[: len(batch_pos)]
 

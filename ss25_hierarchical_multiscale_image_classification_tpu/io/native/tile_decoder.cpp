@@ -366,4 +366,144 @@ int hipac_write_pyramid(const char* path, const uint8_t** levels,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Streaming pyramid writer: levels written in order, each as sequential
+// row bands, so gigapixel fixtures (e.g. 97792x221184) can be fabricated
+// with bounded memory — one band resident instead of the 65 GB level.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Writer {
+  TIFF* tif = nullptr;
+  int tile_size = 256;
+  int compression = 1;
+  int64_t w = 0, h = 0;   // current level dims
+  int64_t row_cursor = 0;  // next y0 expected by write_band
+  bool in_level = false;
+  std::vector<uint8_t> tile;
+};
+
+}  // namespace
+
+void* hipac_writer_open(const char* path, int tile_size, int compression) {
+  TIFF* tif = TIFFOpen(path, "w8");  // BigTIFF
+  if (!tif) {
+    set_err(std::string("cannot create TIFF: ") + path);
+    return nullptr;
+  }
+  auto* wr = new Writer();
+  wr->tif = tif;
+  wr->tile_size = tile_size;
+  wr->compression = compression;
+  wr->tile.resize(static_cast<size_t>(tile_size) * tile_size * 3);
+  return wr;
+}
+
+int hipac_writer_begin_level(void* writer, int64_t w, int64_t h,
+                             int is_reduced) {
+  auto* wr = static_cast<Writer*>(writer);
+  if (wr->in_level) {
+    set_err("begin_level while a level is open");
+    return -1;
+  }
+  TIFF* tif = wr->tif;
+  TIFFSetField(tif, TIFFTAG_IMAGEWIDTH, static_cast<uint32_t>(w));
+  TIFFSetField(tif, TIFFTAG_IMAGELENGTH, static_cast<uint32_t>(h));
+  TIFFSetField(tif, TIFFTAG_SAMPLESPERPIXEL, 3);
+  TIFFSetField(tif, TIFFTAG_BITSPERSAMPLE, 8);
+  TIFFSetField(tif, TIFFTAG_ORIENTATION, ORIENTATION_TOPLEFT);
+  TIFFSetField(tif, TIFFTAG_PLANARCONFIG, PLANARCONFIG_CONTIG);
+  TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
+  if (wr->compression == 2) {
+    TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_JPEG);
+    TIFFSetField(tif, TIFFTAG_JPEGQUALITY, 90);
+  } else if (wr->compression == 1) {
+    TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_ADOBE_DEFLATE);
+  } else {
+    TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_NONE);
+  }
+  TIFFSetField(tif, TIFFTAG_TILEWIDTH, static_cast<uint32_t>(wr->tile_size));
+  TIFFSetField(tif, TIFFTAG_TILELENGTH, static_cast<uint32_t>(wr->tile_size));
+  if (is_reduced) TIFFSetField(tif, TIFFTAG_SUBFILETYPE, FILETYPE_REDUCEDIMAGE);
+  wr->w = w;
+  wr->h = h;
+  wr->row_cursor = 0;
+  wr->in_level = true;
+  return 0;
+}
+
+// buf: (rows, w, 3) uint8, appended at the current row cursor. rows must be
+// a multiple of tile_size except for the final band of the level.
+int hipac_writer_write_band(void* writer, int64_t rows, const uint8_t* buf) {
+  auto* wr = static_cast<Writer*>(writer);
+  if (!wr->in_level) {
+    set_err("write_band outside a level");
+    return -1;
+  }
+  const int ts = wr->tile_size;
+  const int64_t y0 = wr->row_cursor;
+  if (y0 % ts != 0) {
+    set_err("band start not tile-aligned");
+    return -1;
+  }
+  if (rows % ts != 0 && y0 + rows != wr->h) {
+    set_err("band rows must be a tile multiple except the final band");
+    return -1;
+  }
+  if (y0 + rows > wr->h) {
+    set_err("band exceeds level height");
+    return -1;
+  }
+  for (int64_t ty = 0; ty < rows; ty += ts) {
+    const int64_t ch = std::min<int64_t>(ts, rows - ty);
+    for (int64_t tx = 0; tx < wr->w; tx += ts) {
+      std::memset(wr->tile.data(), 255, wr->tile.size());
+      const int64_t cw = std::min<int64_t>(ts, wr->w - tx);
+      for (int64_t yy = 0; yy < ch; ++yy) {
+        std::memcpy(wr->tile.data() + (yy * ts) * 3,
+                    buf + ((ty + yy) * wr->w + tx) * 3,
+                    static_cast<size_t>(cw) * 3);
+      }
+      if (TIFFWriteTile(wr->tif, wr->tile.data(), static_cast<uint32_t>(tx),
+                        static_cast<uint32_t>(y0 + ty), 0, 0) < 0) {
+        set_err("TIFFWriteTile failed");
+        return -1;
+      }
+    }
+  }
+  wr->row_cursor += rows;
+  return 0;
+}
+
+int hipac_writer_end_level(void* writer) {
+  auto* wr = static_cast<Writer*>(writer);
+  if (!wr->in_level) {
+    set_err("end_level outside a level");
+    return -1;
+  }
+  if (wr->row_cursor != wr->h) {
+    set_err("level ended before all rows were written");
+    return -1;
+  }
+  wr->in_level = false;
+  if (!TIFFWriteDirectory(wr->tif)) {
+    set_err("TIFFWriteDirectory failed");
+    return -1;
+  }
+  return 0;
+}
+
+int hipac_writer_close(void* writer) {
+  auto* wr = static_cast<Writer*>(writer);
+  int rc = 0;
+  if (wr->in_level) {
+    set_err("writer closed mid-level");
+    rc = -1;
+  }
+  TIFFClose(wr->tif);
+  delete wr;
+  return rc;
+}
+
 }  // extern "C"

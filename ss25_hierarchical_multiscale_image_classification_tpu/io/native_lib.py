@@ -94,6 +94,20 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.POINTER(c.c_int64), c.c_int, c.c_int, c.c_int,
     ]
     lib.hipac_write_pyramid.restype = c.c_int
+    lib.hipac_writer_open.argtypes = [c.c_char_p, c.c_int, c.c_int]
+    lib.hipac_writer_open.restype = c.c_void_p
+    lib.hipac_writer_begin_level.argtypes = [
+        c.c_void_p, c.c_int64, c.c_int64, c.c_int
+    ]
+    lib.hipac_writer_begin_level.restype = c.c_int
+    lib.hipac_writer_write_band.argtypes = [
+        c.c_void_p, c.c_int64, c.POINTER(c.c_uint8)
+    ]
+    lib.hipac_writer_write_band.restype = c.c_int
+    lib.hipac_writer_end_level.argtypes = [c.c_void_p]
+    lib.hipac_writer_end_level.restype = c.c_int
+    lib.hipac_writer_close.argtypes = [c.c_void_p]
+    lib.hipac_writer_close.restype = c.c_int
     lib.hipac_patch_means.argtypes = [
         c.POINTER(c.c_uint8), c.c_int64, c.c_int64, c.POINTER(c.c_float)
     ]
@@ -161,17 +175,17 @@ def patchify(plane: np.ndarray, patch_size: int) -> tuple[np.ndarray, np.ndarray
     patches = np.empty((n, patch_size, patch_size, 3), np.uint8)
     coords = np.empty((n, 2), np.int64)
     if lib is None:
-        from ss25_hierarchical_multiscale_image_classification_tpu.data.extract import (
-            _vectorized_patches,
+        ph, pw = ny * patch_size, nx * patch_size
+        padded = np.full((ph, pw, 3), 255, np.uint8)
+        padded[:h, :w] = plane
+        tiles = padded.reshape(ny, patch_size, nx, patch_size, 3)
+        p = np.ascontiguousarray(
+            tiles.transpose(2, 0, 1, 3, 4).reshape(n, patch_size, patch_size, 3)
         )
-        from ss25_hierarchical_multiscale_image_classification_tpu.grid.pyramid import (
-            PatchGrid,
-        )
-
-        grid = PatchGrid(level=0, width=w, height=h, downsample=1.0,
-                         patch_size=patch_size, stride=patch_size)
-        p, c = _vectorized_patches(plane, grid)
-        return p, c.astype(np.int64)
+        c = np.empty((n, 2), np.int64)
+        c[:, 0] = np.repeat(np.arange(nx, dtype=np.int64), ny) * patch_size
+        c[:, 1] = np.tile(np.arange(ny, dtype=np.int64), nx) * patch_size
+        return p, c
     count = lib.hipac_patchify(
         _u8ptr(plane), w, h, patch_size, _u8ptr(patches), _i64ptr(coords)
     )

@@ -151,3 +151,78 @@ def write_synthetic_case(
         xml_path = os.path.join(data_dir, "annotations", f"{name}.xml")
         write_annotation_xml(xml_path, polys)
     return slide_path
+
+
+def write_giant_synthetic_slide(
+    slide_path: str,
+    spec: SyntheticSlideSpec | None = None,
+    xml_path: str | None = None,
+    tile_size: int = 512,
+    compression: str = "jpeg",
+    target_band_px: int = 48_000_000,
+) -> None:
+    """Stream-fabricate a full-scale synthetic WSI as a tiled JPEG BigTIFF.
+
+    Unlike :func:`write_synthetic_case` this never materializes a level in
+    memory: each pyramid level is rendered procedurally in row bands (tissue
+    ellipse analytic, tumor polygons via the band rasterizer, tiled texture
+    noise) and appended through :class:`StreamingPyramidWriter`. Rendering a
+    97792x221184 slide — the canonical giant CAMELYON16 slide of reference
+    ``02_patch_extraction.ipynb`` cell 2 — peaks well under 2 GB of host RAM.
+    """
+    from ss25_hierarchical_multiscale_image_classification_tpu.grid.rasterize import (
+        polygons_to_mask_band,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.tiff_slide import (
+        StreamingPyramidWriter,
+    )
+
+    spec = spec or SyntheticSlideSpec(width=97792, height=221184)
+    w0, h0 = spec.width, spec.height
+    polys_l0 = [
+        np.array([(px * w0, py * h0) for px, py in poly], np.float64)
+        for poly in spec.tumor_polygons
+    ]
+
+    rng = np.random.default_rng(spec.seed)
+    ntile = 256
+    noise_tile = rng.normal(0.0, spec.noise, (ntile, ntile, 3)).astype(np.float32)
+    tissue_base = np.array([205.0, 160.0, 190.0], np.float32)
+    tumor_base = np.array([150.0, 90.0, 160.0], np.float32)
+
+    with StreamingPyramidWriter(slide_path, tile_size=tile_size,
+                                compression=compression) as wr:
+        for lvl in range(spec.num_levels):
+            w = max(1, w0 >> lvl)
+            h = max(1, h0 >> lvl)
+            wr.begin_level(w, h)
+            band_rows = max(
+                tile_size, (target_band_px // max(w, 1)) // tile_size * tile_size
+            )
+            cx, cy = spec.tissue_center[0] * w, spec.tissue_center[1] * h
+            rx, ry = spec.tissue_radii[0] * w, spec.tissue_radii[1] * h
+            xs = np.arange(w, dtype=np.float32)
+            x_term = ((xs - cx) / rx) ** 2  # (w,)
+            for y0 in range(0, h, band_rows):
+                rows = min(band_rows, h - y0)
+                ys = np.arange(y0, y0 + rows, dtype=np.float32)
+                y_term = ((ys - cy) / ry) ** 2  # (rows,)
+                tissue = (y_term[:, None] + x_term[None, :]) <= 1.0
+                img = np.full((rows, w, 3), 255.0, np.float32)
+                noise = np.tile(
+                    noise_tile,
+                    (-(-rows // ntile), -(-w // ntile), 1),
+                )[:rows, :w]
+                img[tissue] = tissue_base + noise[tissue]
+                if polys_l0:
+                    tumor = polygons_to_mask_band(
+                        polys_l0, (w, h), (w0, h0), x0=0, y0=y0,
+                        band_w=w, band_h=rows,
+                    ) > 0
+                    img[tumor] = tumor_base + noise[tumor]
+                np.clip(img, 0, 255, out=img)
+                wr.write_band(img.astype(np.uint8))
+            wr.end_level()
+
+    if polys_l0 and xml_path:
+        write_annotation_xml(xml_path, polys_l0)

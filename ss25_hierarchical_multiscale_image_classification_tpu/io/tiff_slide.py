@@ -145,3 +145,71 @@ def write_pyramidal_tiff(
     )
     if rc != 0:
         raise IOError(f"write_pyramidal_tiff failed: {native_lib.last_error()}")
+
+
+class StreamingPyramidWriter:
+    """Band-streaming tiled pyramidal BigTIFF writer.
+
+    Writes levels in order (0 first), each as sequential row bands whose
+    heights are tile multiples (except the final band), so gigapixel
+    fixtures/artifacts are produced with one band resident instead of the
+    whole level (~65 GB at CAMELYON16 level 0). Wraps the native
+    ``hipac_writer_*`` API.
+
+    Usage::
+
+        with StreamingPyramidWriter(path, compression="jpeg") as wr:
+            wr.begin_level(w0, h0)
+            for band in bands:          # (rows, w0, 3) uint8
+                wr.write_band(band)
+            wr.end_level()
+            ...
+    """
+
+    def __init__(self, path: str, tile_size: int = 256,
+                 compression: str = "deflate"):
+        lib = native_lib.get_lib()
+        if lib is None:
+            raise RuntimeError("native TIFF writer unavailable")
+        self._lib = lib
+        comp = {"none": 0, "deflate": 1, "jpeg": 2}[compression]
+        self.path = path
+        self._handle = lib.hipac_writer_open(path.encode(), tile_size, comp)
+        if not self._handle:
+            raise IOError(
+                f"cannot create {path}: {native_lib.last_error()}"
+            )
+        self._level_index = 0
+
+    def begin_level(self, width: int, height: int) -> None:
+        rc = self._lib.hipac_writer_begin_level(
+            self._handle, width, height, 1 if self._level_index > 0 else 0
+        )
+        if rc != 0:
+            raise IOError(f"begin_level failed: {native_lib.last_error()}")
+
+    def write_band(self, band: np.ndarray) -> None:
+        band = np.ascontiguousarray(band, np.uint8)
+        rc = self._lib.hipac_writer_write_band(
+            self._handle, band.shape[0],
+            band.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc != 0:
+            raise IOError(f"write_band failed: {native_lib.last_error()}")
+
+    def end_level(self) -> None:
+        rc = self._lib.hipac_writer_end_level(self._handle)
+        if rc != 0:
+            raise IOError(f"end_level failed: {native_lib.last_error()}")
+        self._level_index += 1
+
+    def close(self) -> None:
+        if getattr(self, "_handle", None):
+            self._lib.hipac_writer_close(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

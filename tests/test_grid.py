@@ -147,3 +147,64 @@ def test_patch_labels_from_mask_jax():
 def test_labels_none_mask_all_normal():
     labels = patch_labels_from_mask_host(None, np.zeros((5, 2), np.int32), 224)
     assert labels.tolist() == [0] * 5
+
+
+def test_band_rasterizer_yslab_byte_parity_fuzz():
+    """Full-width y-slab rasterization must equal the full mask byte-for-byte
+    (PIL y translation is exact) — this is what makes gigapixel band labeling
+    identical to the whole-mask path."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.grid.rasterize import (
+        polygons_to_mask,
+        polygons_to_mask_band,
+    )
+
+    rng = np.random.default_rng(13)
+    for _ in range(10):
+        W, H = int(rng.integers(60, 300)), int(rng.integers(60, 300))
+        base = (W * 4, H * 4)
+        polys = []
+        for _ in range(int(rng.integers(1, 4))):
+            k = int(rng.integers(3, 10))
+            cx = rng.uniform(-0.2, 1.2) * base[0]
+            cy = rng.uniform(-0.2, 1.2) * base[1]
+            r = rng.uniform(0.05, 0.5) * max(base)
+            ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+            polys.append(np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], 1))
+        full = polygons_to_mask(polys, (W, H), base)
+        for _ in range(6):
+            y0 = int(rng.integers(0, H))
+            bh = int(rng.integers(1, H - y0 + 1))
+            band = polygons_to_mask_band(polys, (W, H), base, 0, y0, W, bh)
+            np.testing.assert_array_equal(band, full[y0:y0 + bh])
+
+
+def test_label_grid_matches_full_mask_labels():
+    """_compute_label_grid (y-slab streaming) == any-pool over the full mask."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.data.extract import (
+        _compute_label_grid,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.grid.pyramid import (
+        PatchGrid,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.grid.rasterize import (
+        polygons_to_mask,
+    )
+
+    rng = np.random.default_rng(21)
+    for _ in range(5):
+        W, H, ps = 230, 190, 32
+        base = (W * 2, H * 2)
+        k = int(rng.integers(3, 9))
+        cx, cy = rng.uniform(0, base[0]), rng.uniform(0, base[1])
+        r = rng.uniform(0.1, 0.6) * max(base)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        polys = [np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], 1)]
+        grid = PatchGrid(level=0, width=W, height=H, downsample=1.0,
+                         patch_size=ps, stride=ps)
+        lab = _compute_label_grid(polys, base, grid)
+        full = polygons_to_mask(polys, (W, H), base)
+        for gy in range(lab.shape[0]):
+            for gx in range(lab.shape[1]):
+                y, x = gy * ps, gx * ps
+                expect = 1 if full[y:y + ps, x:x + ps].any() else 0
+                assert lab[gy, gx] == expect, (gx, gy)
