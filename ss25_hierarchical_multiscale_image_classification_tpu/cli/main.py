@@ -121,6 +121,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--store", type=str, default=None,
                         choices=["png", "packed"],
                         help="Patch store format")
+    parser.add_argument("--stain_norm", action="store_true",
+                        help="Macenko H&E stain normalization of stored"
+                             " patches during --patch (on-device)")
     parser.add_argument("--extract_impl", type=str, default="host",
                         choices=["host", "device"],
                         help="Patch extraction implementation: bounded-memory"
@@ -229,6 +232,7 @@ def main(argv=None) -> int:
                 level=lvl,
                 store_format=cfg.data.patch_store_format,
                 impl=args.extract_impl,
+                stain_norm=args.stain_norm or cfg.data.stain_norm,
             )
 
     if args.extract_features:

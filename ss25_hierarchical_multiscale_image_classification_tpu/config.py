@@ -82,6 +82,9 @@ class DataConfig:
     #: "png" = reference-compatible one-PNG-per-patch layout;
     #: "packed" = TPU-friendly memmapped uint8 store + parquet manifest.
     patch_store_format: str = "packed"
+    #: Macenko stain normalization applied to stored patches at extraction
+    #: (--stain_norm; data/stain.py). The reference has no stain handling.
+    stain_norm: bool = False
     val_fraction: float = 0.2  # main.py:414 train_test_split(test_size=0.2)
     split_seed: int = 42  # main.py:414 random_state=42
     balance_val_seed: int = 42  # main.py:448-465 RNG(42) val balancing

@@ -210,6 +210,28 @@ def _compute_label_grid(
     return out
 
 
+def _stain_normalize(patches: np.ndarray) -> np.ndarray:
+    """Macenko-normalize a batch of stored patches on device (--stain_norm).
+
+    Batches pad to the next power of two so XLA compiles a handful of shapes
+    instead of one program per band remainder.
+    """
+    import jax.numpy as jnp
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.data.stain import (
+        macenko_normalize_batch,
+    )
+
+    n = len(patches)
+    padded_n = 1 << max(0, (n - 1).bit_length())
+    if padded_n != n:
+        patches = np.concatenate(
+            [patches, np.repeat(patches[-1:], padded_n - n, axis=0)]
+        )
+    out = np.asarray(macenko_normalize_batch(jnp.asarray(patches)))
+    return out[:n]
+
+
 def _extract_on_device(
     slide: Slide,
     grid: PatchGrid,
@@ -250,6 +272,7 @@ def extract_patches_for_slide(
     num_threads: int = 8,
     impl: str = "host",
     band_budget_bytes: int = BAND_BUDGET_BYTES,
+    stain_norm: bool = False,
 ) -> list[PatchRecord]:
     """Extract, label, filter, and store all patches of one slide level.
 
@@ -283,6 +306,8 @@ def extract_patches_for_slide(
 
         def emit(patches, coords, labels):
             nonlocal n_tumor, n_normal
+            if stain_norm and len(patches):
+                patches = _stain_normalize(patches)
             n_tumor += int((labels == LABEL_TUMOR).sum())
             n_normal += int((labels == LABEL_NORMAL).sum())
             if store_format == "packed":
@@ -381,6 +406,7 @@ def extract_patches(
     slide_filter: Sequence[str] | None = None,
     impl: str = "host",
     band_budget_bytes: int = BAND_BUDGET_BYTES,
+    stain_norm: bool = False,
 ) -> PatchManifest:
     """Extract patches for every slide of a split at one level.
 
@@ -419,6 +445,7 @@ def extract_patches(
                     stride=stride,
                     impl=impl,
                     band_budget_bytes=band_budget_bytes,
+                    stain_norm=stain_norm,
                 )
         except Exception as e:  # one bad WSI must not kill the run (main.py:649-653)
             log.error("Could not process %s: %s", path, e)

@@ -38,11 +38,15 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # explicit (1,1) padding: identical to SAME at stride 1, but at
+        # stride 2 it reproduces torch's symmetric padding (SAME would pad
+        # (0,1)) so converted torchvision weights match at the logit level
         residual = x
-        y = self.conv(self.filters, (3, 3), (self.strides, self.strides))(x)
+        y = self.conv(self.filters, (3, 3), (self.strides, self.strides),
+                      padding=[(1, 1), (1, 1)])(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = self.conv(self.filters, (3, 3))(y)
+        y = self.conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)])(y)
         y = self.norm(scale_init=nn.initializers.zeros)(y)
         if residual.shape != y.shape:
             residual = self.conv(
@@ -67,7 +71,8 @@ class Bottleneck(nn.Module):
         y = self.conv(self.filters, (1, 1))(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = self.conv(self.filters, (3, 3), (self.strides, self.strides))(y)
+        y = self.conv(self.filters, (3, 3), (self.strides, self.strides),
+                      padding=[(1, 1), (1, 1)])(y)
         y = self.norm()(y)
         y = nn.relu(y)
         y = self.conv(self.filters * 4, (1, 1))(y)
