@@ -105,7 +105,16 @@ class ResNet(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, from_stem: bool = False):
+        """Forward pass.
+
+        Args:
+            from_stem: when True, ``x`` is the already-pooled stem output
+                (B, H/4, W/4, 64) — e.g. from the fused Pallas stem kernel
+                (``ops/pallas/fused_stem.py``) — and the stem layers are
+                skipped. Stem parameters stay in the variable tree; flax
+                simply does not visit them.
+        """
         conv = partial(
             nn.Conv,
             use_bias=False,
@@ -124,11 +133,13 @@ class ResNet(nn.Module):
         )
 
         x = x.astype(self.dtype)
-        x = conv(self.num_filters, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
-                 name="stem_conv")(x)
-        x = norm(name="stem_norm")(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if not from_stem:
+            x = conv(self.num_filters, (7, 7), (2, 2),
+                     padding=[(3, 3), (3, 3)], name="stem_conv")(x)
+            x = norm(name="stem_norm")(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=[(1, 1), (1, 1)])
 
         for i, block_count in enumerate(self.stage_sizes):
             for j in range(block_count):

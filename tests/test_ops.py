@@ -187,3 +187,62 @@ def test_nt_xent_valid_mask_grad_zero_on_padding():
         np.testing.assert_allclose(np.asarray(gi[9:]), 0.0, atol=1e-7)
         np.testing.assert_allclose(np.asarray(gj[9:]), 0.0, atol=1e-7)
         assert float(jnp.abs(gi[:9]).sum()) > 0
+
+
+def test_fused_stem_parity():
+    """Fused Pallas stem (s2d conv7x7/2 + BN + ReLU + maxpool3x3/2) matches
+    the XLA stem (interpret mode off-TPU; exact f32 path)."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.ops.pallas.fused_stem import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        stem_forward,
+    )
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (1, 224, 224, 3), np.uint8)
+    w = rng.normal(0, 0.1, (7, 7, 3, 64)).astype(np.float32)
+    scale = rng.uniform(0.5, 1.5, 64).astype(np.float32)
+    bias = rng.normal(0, 0.1, 64).astype(np.float32)
+    mean = rng.normal(0, 0.1, 64).astype(np.float32)
+    var = rng.uniform(0.5, 2.0, 64).astype(np.float32)
+
+    x = (imgs.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    y = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    inv = 1.0 / np.sqrt(var + 1e-5)
+    y = jnp.maximum((y - mean) * (scale * inv) + bias, 0)
+    y = jax.lax.reduce_window(
+        y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    ref = np.asarray(y)
+
+    out = np.asarray(
+        stem_forward(jnp.asarray(imgs), w, scale, bias, mean, var,
+                     dtype=jnp.float32)
+    )
+    # off-TPU interpret mode is exact f32; on-TPU the MXU runs bf16 passes
+    tol = 5e-2 if jax.default_backend() == "tpu" else 1e-4
+    np.testing.assert_allclose(out, ref, atol=tol * np.abs(ref).max())
+
+
+def test_bias_relu_pool_parity():
+    """Fused bias+ReLU+maxpool kernel matches reduce_window."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.ops.pallas.fused_stem import (
+        bias_relu_pool,
+    )
+
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(rng.normal(0, 1, (2, 112, 112, 64)), jnp.float32)
+    bias = jnp.asarray(rng.normal(0, 0.5, 64), jnp.float32)
+    ref = jax.lax.reduce_window(
+        jnp.maximum(y + bias, 0), -jnp.inf, jax.lax.max,
+        (1, 3, 3, 1), (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    out = bias_relu_pool(y, bias, out_dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3
+    )
