@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Full-slide heatmap proof (VERDICT round-1 next #2).
+
+Runs the complete missing-producer path the reference never shipped
+(``src/main.py:1168-1225`` consumes these CSVs): full-slide sliding-window
+inference over a REAL-scale (97792 x 221184) JPEG BigTIFF → tumor
+probability grid → detection CSV → level-6-style overlay PNG — on the real
+chip, with measured wall-clock and a decode/compute breakdown for the
+v5e-8 projection.
+
+Usage: python scripts/heatmap_proof.py [--slide PATH] [--level 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--slide", default="/root/giga/tumor_giant.tif")
+    p.add_argument("--out", default="/root/giga")
+    p.add_argument("--level", type=int, default=3)
+    p.add_argument("--batch_size", type=int, default=512)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.overlay import (
+        render_overlay,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
+        nms_detections,
+        predict_slide,
+        write_detection_csv,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.tiff_slide import (
+        TiffSlide,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.models.resnet import (
+        ResNet18Classifier,
+    )
+
+    model = ResNet18Classifier()
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32),
+        train=False,
+    )
+
+    slide = TiffSlide(args.slide)
+    dims = slide.level_dimensions
+    report = {"slide_dims_level0": list(dims[0]), "level": args.level}
+
+    # decode-only pass: what the host tile pipeline sustains on this machine
+    from ss25_hierarchical_multiscale_image_classification_tpu.grid.pyramid import (
+        PatchGrid,
+    )
+    grid = PatchGrid.for_slide_level(
+        args.level, dims[args.level], slide.level_downsamples[args.level]
+    )
+    coords = grid.coords_array()
+    t0 = time.perf_counter()
+    n_probe = min(1024, len(coords))
+    _ = slide.read_regions(coords[:n_probe], args.level,
+                           (grid.patch_size, grid.patch_size))
+    decode_s = time.perf_counter() - t0
+    report["decode_patches_per_sec"] = round(n_probe / decode_s, 1)
+
+    # full measured run: decode + device inference (overlapped)
+    t0 = time.perf_counter()
+    prob_grid, grid = predict_slide(
+        slide, variables, level=args.level, batch_size=args.batch_size,
+        model=model,
+    )
+    wall = time.perf_counter() - t0
+    report["grid_shape"] = list(prob_grid.shape)
+    report["cells"] = int(np.prod(prob_grid.shape))
+    report["wall_seconds"] = round(wall, 1)
+    report["cells_per_sec"] = round(report["cells"] / wall, 1)
+
+    detections = nms_detections(prob_grid, grid, threshold=0.5)
+    csv_path = os.path.join(args.out, "tumor_giant.csv")
+    write_detection_csv(csv_path, detections)
+    report["detections"] = len(detections)
+
+    overlay_path = os.path.join(args.out, "tumor_giant_overlay.png")
+    render_overlay(slide, prob_grid, save_path=overlay_path)
+    report["overlay"] = overlay_path
+    slide.close()
+
+    with open(os.path.join(args.out, "heatmap_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -73,9 +73,20 @@ def run_feature_extraction(
     batch_size: int = 512,
     mesh=None,
     dtype=jnp.bfloat16,
+    out: np.ndarray | None = None,
+    feature_dim: int = 512,
 ) -> tuple[np.ndarray, np.ndarray, list[str]]:
     """Forward every patch through the extractor; returns
-    (features (N, 512), labels (N,), patch names)."""
+    (features (N, 512), labels (N,), patch names).
+
+    Pipelined end to end: host batch gathering runs on the prefetcher
+    thread, device steps dispatch asynchronously, and each step's features
+    are fetched with a ONE-BATCH LAG so the device→host transfer of batch
+    k-1 overlaps batch k's compute instead of serializing the stream.
+    With ``out`` (e.g. a ``.npy`` memmap) features spool incrementally —
+    no end-of-run concatenation or double buffering of the full (N, 512)
+    matrix in RAM.
+    """
     mesh = mesh or make_mesh()
     model = ResNet18FeatureExtractor(dtype=dtype)
     variables = replicate(
@@ -92,21 +103,44 @@ def run_feature_extraction(
     )
 
     batches = Prefetcher(BatchIterator(dataset, batch_size, shuffle=False))
-    feats_out: list[np.ndarray] = []
     n_total = len(dataset)
+    if out is None:
+        out = np.empty((n_total, feature_dim), np.float32)
+
+    def spool(pending):
+        feats_dev, n_valid, pos = pending
+        out[pos : pos + n_valid] = np.asarray(
+            feats_dev[:n_valid], dtype=np.float32
+        )
+
+    pos = 0
+    pending = None
     with Timer(f"feature_extraction[{n_total} patches]", log):
         for imgs, _labels, valid in batches:
             imgs = shard_batch(mesh, imgs)
             feats = step(variables["params"], variables["batch_stats"], imgs)
-            feats_out.append(np.asarray(feats[: int(valid.sum())]))
-    features = (
-        np.concatenate(feats_out, axis=0)
-        if feats_out
-        else np.zeros((0, 512), np.float32)
-    )
+            if pending is not None:
+                spool(pending)
+            n_valid = int(valid.sum())
+            pending = (feats, n_valid, pos)
+            pos += n_valid
+        if pending is not None:
+            spool(pending)
+
     labels = dataset.labels
     names = [rec.patch_name for rec in dataset.manifest]
-    return features.astype(np.float32), labels, names
+    return out[:pos], labels, names
+
+
+def _features_memmap(features_dir: str, level: int, n: int,
+                     feature_dim: int = 512) -> np.ndarray:
+    """Preallocate ``patch_features_{L}.npy`` as a writable memmap so the
+    extraction loop spools features straight into the artifact."""
+    os.makedirs(features_dir, exist_ok=True)
+    path = os.path.join(features_dir, f"patch_features_{level}.npy")
+    return np.lib.format.open_memmap(
+        path, mode="w+", dtype=np.float32, shape=(n, feature_dim)
+    )
 
 
 def _save_artifacts(
@@ -114,7 +148,12 @@ def _save_artifacts(
     names: list[str],
 ) -> None:
     os.makedirs(features_dir, exist_ok=True)
-    np.save(os.path.join(features_dir, f"patch_features_{level}.npy"), feats)
+    if isinstance(feats, np.memmap):
+        feats.flush()  # spooled incrementally during extraction
+    else:
+        np.save(
+            os.path.join(features_dir, f"patch_features_{level}.npy"), feats
+        )
     np.save(os.path.join(features_dir, f"patch_labels_{level}.npy"), labels)
     with open(os.path.join(features_dir, f"patch_paths_{level}.txt"), "w") as f:
         f.write("\n".join(names))
@@ -144,8 +183,9 @@ def extract_features(
             "batch_stats": dict(variables.get("batch_stats", {})),
         }
     )
+    out = _features_memmap(cfg.data.features_dir, level, len(dataset))
     feats, labels, names = run_feature_extraction(
-        dataset, trunk, batch_size or cfg.train.batch_size
+        dataset, trunk, batch_size or cfg.train.batch_size, out=out
     )
     _save_artifacts(cfg.data.features_dir, level, feats, labels, names)
     return feats
@@ -169,8 +209,9 @@ def extract_features_with_simclr(
             "encoder", variables.get("batch_stats", {})
         ),
     }
+    out = _features_memmap(cfg.data.features_dir, level, len(dataset))
     feats, labels, names = run_feature_extraction(
-        dataset, trunk, batch_size or cfg.train.batch_size
+        dataset, trunk, batch_size or cfg.train.batch_size, out=out
     )
     _save_artifacts(cfg.data.features_dir, level, feats, labels, names)
     return feats
