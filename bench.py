@@ -83,6 +83,58 @@ def run_bench(batch_size: int = 512, iters: int = 50, warmup: int = 5) -> dict:
     }
 
 
+def run_bench_int8(batch_size: int = 512, iters: int = 50, warmup: int = 5) -> dict:
+    """w8a8 variant of the same hot loop (``--int8`` deployment path):
+    uint8 batch → fused normalize+quantize → int8 MXU ResNet18 trunk."""
+    import jax
+    import jax.numpy as jnp
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.models.quantized import (
+        quant_forward,
+        quantize_resnet18,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.models.resnet import (
+        ResNet18Classifier,
+    )
+
+    model = ResNet18Classifier(dtype=jnp.float32)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32), train=False
+    )
+    rng = np.random.default_rng(0)
+    calib = rng.integers(0, 256, (256, 224, 224, 3), dtype=np.uint8)
+    q = quantize_resnet18(dict(variables), [calib])
+    qtree = q.tree()
+
+    @jax.jit
+    def step(qp, imgs_u8):
+        return jnp.sum(quant_forward(qp, imgs_u8, with_fc=False))
+
+    dev_batches = [
+        jax.device_put(
+            rng.integers(0, 256, (batch_size, 224, 224, 3), dtype=np.uint8)
+        )
+        for _ in range(2)
+    ]
+    for i in range(warmup):
+        float(step(qtree, dev_batches[i % 2]))
+    t0 = time.perf_counter()
+    out = None
+    for i in range(iters):
+        out = step(qtree, dev_batches[i % 2])
+    float(out)
+    elapsed = time.perf_counter() - t0
+    patches_per_sec = batch_size * iters / elapsed
+    return {
+        "metric": "resnet18_int8_inference_224px_patches_per_sec_per_chip",
+        "value": round(patches_per_sec, 1),
+        "unit": "patches/sec/chip",
+        "vs_baseline": round(patches_per_sec / BASELINE_PATCHES_PER_SEC, 3),
+    }
+
+
 if __name__ == "__main__":
-    result = run_bench()
+    import sys
+
+    result = run_bench_int8() if "--int8" in sys.argv else run_bench()
     print(json.dumps(result))

@@ -124,6 +124,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--stain_norm", action="store_true",
                         help="Macenko H&E stain normalization of stored"
                              " patches during --patch (on-device)")
+    parser.add_argument("--int8", action="store_true",
+                        help="Post-training int8 (w8a8) inference for"
+                             " --extract_features / --predict_slide: BN-fold"
+                             " + per-channel weight quant + calibrated"
+                             " activation scales (models/quantized.py)")
     parser.add_argument("--extract_impl", type=str, default="host",
                         choices=["host", "device"],
                         help="Patch extraction implementation: bounded-memory"
@@ -260,13 +265,13 @@ def main(argv=None) -> int:
                     extract_features_with_simclr,
                 )
 
-                extract_features_with_simclr(cfg, level=level)
+                extract_features_with_simclr(cfg, level=level, int8=args.int8)
             else:
                 from ss25_hierarchical_multiscale_image_classification_tpu.infer.features import (
                     extract_features,
                 )
 
-                extract_features(cfg, level=level)
+                extract_features(cfg, level=level, int8=args.int8)
 
     if args.train:
         if not images_downloaded(cfg.data):
@@ -406,7 +411,8 @@ def main(argv=None) -> int:
         variables = load_model(model_path)
         csv_dir = os.path.join(cfg.models_dir, "model_predictions_csv")
         prob_grid, _csv = predict_and_export(
-            args.predict_slide, variables, csv_dir, level=level
+            args.predict_slide, variables, csv_dir, level=level,
+            int8=args.int8,
         )
         if args.overlay:
             out = os.path.join(

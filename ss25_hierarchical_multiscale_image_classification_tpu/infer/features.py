@@ -67,6 +67,19 @@ def make_feature_step(model):
     return feature_step
 
 
+def _calibration_batches(dataset: PatchDataset, batch_size: int,
+                         n_batches: int = 2) -> list[np.ndarray]:
+    """First few dataset batches, for int8 activation-scale calibration."""
+    out = []
+    for imgs, _labels, _valid in BatchIterator(
+        dataset, min(batch_size, 256), shuffle=False
+    ):
+        out.append(np.asarray(imgs))
+        if len(out) >= n_batches:
+            break
+    return out
+
+
 def run_feature_extraction(
     dataset: PatchDataset,
     variables: dict,
@@ -75,6 +88,7 @@ def run_feature_extraction(
     dtype=jnp.bfloat16,
     out: np.ndarray | None = None,
     feature_dim: int = 512,
+    int8: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, list[str]]:
     """Forward every patch through the extractor; returns
     (features (N, 512), labels (N,), patch names).
@@ -86,17 +100,40 @@ def run_feature_extraction(
     With ``out`` (e.g. a ``.npy`` memmap) features spool incrementally —
     no end-of-run concatenation or double buffering of the full (N, 512)
     matrix in RAM.
+
+    ``int8=True`` post-training-quantizes the trunk (w8a8, calibrated on
+    the first dataset batches — ``models/quantized.py``) and runs the int8
+    MXU path; features stay float32.
     """
     mesh = mesh or make_mesh()
-    model = ResNet18FeatureExtractor(dtype=dtype)
-    variables = replicate(
-        mesh,
-        {
-            "params": variables["params"],
-            "batch_stats": variables.get("batch_stats", {}),
-        },
-    )
-    step = make_feature_step(model)
+    if int8:
+        from ss25_hierarchical_multiscale_image_classification_tpu.models.quantized import (
+            quant_forward,
+            quantize_resnet18,
+        )
+
+        q = quantize_resnet18(
+            variables, _calibration_batches(dataset, batch_size)
+        )
+        qtree = replicate(mesh, q.tree())
+        qstep = jax.jit(lambda qp, imgs: quant_forward(qp, imgs, with_fc=False))
+
+        def step_fn(imgs):
+            return qstep(qtree, imgs)
+
+    else:
+        model = ResNet18FeatureExtractor(dtype=dtype)
+        variables = replicate(
+            mesh,
+            {
+                "params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {}),
+            },
+        )
+        step = make_feature_step(model)
+
+        def step_fn(imgs):
+            return step(variables["params"], variables["batch_stats"], imgs)
 
     from ss25_hierarchical_multiscale_image_classification_tpu.data.prefetch import (
         Prefetcher,
@@ -118,7 +155,7 @@ def run_feature_extraction(
     with Timer(f"feature_extraction[{n_total} patches]", log):
         for imgs, _labels, valid in batches:
             imgs = shard_batch(mesh, imgs)
-            feats = step(variables["params"], variables["batch_stats"], imgs)
+            feats = step_fn(imgs)
             if pending is not None:
                 spool(pending)
             n_valid = int(valid.sum())
@@ -164,7 +201,7 @@ def _save_artifacts(
 
 def extract_features(
     cfg: Config, level: int = 3, model_path: str | None = None,
-    batch_size: int | None = None,
+    batch_size: int | None = None, int8: bool = False,
 ) -> np.ndarray:
     """Classifier-trunk feature extraction (``src/main.py:805-894``):
     loads the trained classifier, strips the fc head into the extractor."""
@@ -185,7 +222,7 @@ def extract_features(
     )
     out = _features_memmap(cfg.data.features_dir, level, len(dataset))
     feats, labels, names = run_feature_extraction(
-        dataset, trunk, batch_size or cfg.train.batch_size, out=out
+        dataset, trunk, batch_size or cfg.train.batch_size, out=out, int8=int8
     )
     _save_artifacts(cfg.data.features_dir, level, feats, labels, names)
     return feats
@@ -193,7 +230,7 @@ def extract_features(
 
 def extract_features_with_simclr(
     cfg: Config, level: int = 3, encoder_path: str | None = None,
-    batch_size: int | None = None,
+    batch_size: int | None = None, int8: bool = False,
 ) -> np.ndarray:
     """SimCLR-encoder feature extraction (``src/main.py:897-932``)."""
     manifest = load_or_scan_manifest(cfg.data.patches_dir, level)
@@ -211,7 +248,7 @@ def extract_features_with_simclr(
     }
     out = _features_memmap(cfg.data.features_dir, level, len(dataset))
     feats, labels, names = run_feature_extraction(
-        dataset, trunk, batch_size or cfg.train.batch_size, out=out
+        dataset, trunk, batch_size or cfg.train.batch_size, out=out, int8=int8
     )
     _save_artifacts(cfg.data.features_dir, level, feats, labels, names)
     return feats

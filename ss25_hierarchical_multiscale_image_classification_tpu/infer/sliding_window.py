@@ -69,6 +69,30 @@ def make_prob_step(model, input_size: int = 224):
     return prob_step
 
 
+def make_prob_step_int8(input_size: int = 224):
+    """int8 (w8a8) classifier probability step over a quantized tree
+    (``models/quantized.py``); u8 patches resize on device if needed."""
+    import jax.numpy as jnp
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.models.quantized import (
+        quant_forward,
+    )
+
+    @jax.jit
+    def prob_step(qtree, imgs_u8):
+        if imgs_u8.shape[1] != input_size:
+            f = jax.image.resize(
+                imgs_u8.astype(jnp.float32),
+                (imgs_u8.shape[0], input_size, input_size, 3),
+                method="bilinear",
+            )
+            imgs_u8 = jnp.clip(jnp.round(f), 0, 255).astype(jnp.uint8)
+        logits = quant_forward(qtree, imgs_u8, with_fc=True)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
+
+    return prob_step
+
+
 def predict_slide(
     slide_or_path: Slide | str,
     variables: dict,
@@ -79,6 +103,7 @@ def predict_slide(
     tissue_threshold: float = TISSUE_MEAN_RGB_THRESHOLD,
     input_size: int = 224,
     mesh=None,
+    int8: bool = False,
 ) -> tuple[np.ndarray, PatchGrid]:
     """Tumor probability per grid cell.
 
@@ -86,6 +111,8 @@ def predict_slide(
     cells are 0. With a ``mesh``, each batch is sharded across the data axis
     — the slide's patch grid is spatially data-parallel over ICI (the
     multi-chip path behind the <60 s full-slide target; SURVEY.md §5).
+    ``int8=True`` quantizes the classifier (w8a8, calibrated on this slide's
+    first tissue batch) and runs the MXU int8 path.
     """
     slide = (
         open_slide(slide_or_path) if isinstance(slide_or_path, str) else slide_or_path
@@ -103,6 +130,8 @@ def predict_slide(
         step = make_prob_step(model, input_size)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        qstep = make_prob_step_int8(input_size) if int8 else None
+        qstate: dict = {}
         if mesh is not None:
             from ss25_hierarchical_multiscale_image_classification_tpu.parallel.mesh import (
                 batch_sharding,
@@ -125,6 +154,26 @@ def predict_slide(
         else:
             def _put(x):
                 return x
+
+        def run_batch(imgs_u8: np.ndarray) -> np.ndarray:
+            if qstep is None:
+                return np.asarray(step(params, batch_stats, _put(imgs_u8)))
+            if "tree" not in qstate:
+                # calibrate on this slide's first tissue batch
+                from ss25_hierarchical_multiscale_image_classification_tpu.models.quantized import (
+                    quantize_resnet18,
+                )
+
+                q = quantize_resnet18(variables, [imgs_u8])
+                tree = q.tree()
+                if mesh is not None:
+                    from ss25_hierarchical_multiscale_image_classification_tpu.parallel.mesh import (
+                        replicate as _rep,
+                    )
+
+                    tree = _rep(mesh, tree)
+                qstate["tree"] = tree
+            return np.asarray(qstep(qstate["tree"], _put(imgs_u8)))
 
         ps = grid.patch_size
         n = len(coords)
@@ -170,14 +219,13 @@ def predict_slide(
                     batch_imgs[len(batch_pos)] = chunk[j]
                     batch_pos.append(int(idx[j]))
                     if len(batch_pos) == batch_size:
-                        p = np.asarray(step(params, batch_stats, _put(batch_imgs)))
-                        probs[np.asarray(batch_pos)] = p
+                        probs[np.asarray(batch_pos)] = run_batch(batch_imgs)
                         batch_pos = []
             if batch_pos:
                 # white-fill the unused tail: same static shape (no
                 # recompile), no stale rows from the previous batch
                 batch_imgs[len(batch_pos):] = 255
-                p = np.asarray(step(params, batch_stats, _put(batch_imgs)))
+                p = run_batch(batch_imgs)
                 probs[np.asarray(batch_pos)] = p[: len(batch_pos)]
 
         # scatter into the (ny, nx) grid
