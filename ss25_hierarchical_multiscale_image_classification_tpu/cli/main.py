@@ -124,6 +124,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--stain_norm", action="store_true",
                         help="Macenko H&E stain normalization of stored"
                              " patches during --patch (on-device)")
+    parser.add_argument("--group_size", type=int, default=None,
+                        help="With --predict_slide <dir>: devices per slide"
+                             " group (fleet inference, one slide per group;"
+                             " default all devices on one slide at a time)")
     parser.add_argument("--int8", action="store_true",
                         help="Post-training int8 (w8a8) inference for"
                              " --extract_features / --predict_slide: BN-fold"
@@ -410,18 +414,57 @@ def main(argv=None) -> int:
         model_path = os.path.join(cfg.models_dir, "resnet18_patch_classifier")
         variables = load_model(model_path)
         csv_dir = os.path.join(cfg.models_dir, "model_predictions_csv")
-        prob_grid, _csv = predict_and_export(
-            args.predict_slide, variables, csv_dir, level=level,
-            int8=args.int8,
-        )
-        if args.overlay:
-            out = os.path.join(
-                cfg.models_dir,
-                "overlays",
-                os.path.basename(args.predict_slide) + ".overlay.png",
+        if os.path.isdir(args.predict_slide):
+            # fleet mode: every slide in the directory, one per chip group
+            from ss25_hierarchical_multiscale_image_classification_tpu.infer.fleet import (
+                predict_slide_fleet,
             )
-            render_overlay(args.predict_slide, prob_grid, save_path=out)
-            log.info("Overlay saved: %s", out)
+
+            paths = sorted(
+                os.path.join(args.predict_slide, f)
+                for f in os.listdir(args.predict_slide)
+                if f.endswith((".tif", ".tiff", ".wsi.npz"))
+            )
+            if not paths:
+                log.error("No slides in %s", args.predict_slide)
+                return 1
+            import jax
+
+            group_size = args.group_size
+            n_dev = len(jax.devices())
+            if group_size is not None and (
+                group_size < 1 or n_dev % group_size
+            ):
+                log.warning(
+                    "--group_size %d does not divide the %d devices; "
+                    "using one group", group_size, n_dev,
+                )
+                group_size = None
+            grids = predict_slide_fleet(
+                paths, variables, csv_dir, level=level,
+                group_size=group_size, int8=args.int8,
+            )
+            if args.overlay:
+                for path, prob_grid in grids.items():
+                    out = os.path.join(
+                        cfg.models_dir, "overlays",
+                        os.path.basename(path) + ".overlay.png",
+                    )
+                    render_overlay(path, prob_grid, save_path=out)
+                    log.info("Overlay saved: %s", out)
+        else:
+            prob_grid, _csv = predict_and_export(
+                args.predict_slide, variables, csv_dir, level=level,
+                int8=args.int8,
+            )
+            if args.overlay:
+                out = os.path.join(
+                    cfg.models_dir,
+                    "overlays",
+                    os.path.basename(args.predict_slide) + ".overlay.png",
+                )
+                render_overlay(args.predict_slide, prob_grid, save_path=out)
+                log.info("Overlay saved: %s", out)
 
     if args.wsi_viz:
         from ss25_hierarchical_multiscale_image_classification_tpu.data.extract import (

@@ -18,3 +18,6 @@ from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window 
 from ss25_hierarchical_multiscale_image_classification_tpu.infer.overlay import (  # noqa: F401
     render_overlay,
 )
+from ss25_hierarchical_multiscale_image_classification_tpu.infer.fleet import (  # noqa: F401
+    predict_slide_fleet,
+)

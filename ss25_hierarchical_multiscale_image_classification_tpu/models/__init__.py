@@ -27,3 +27,7 @@ from ss25_hierarchical_multiscale_image_classification_tpu.models.unet import ( 
     UNet,
     UNetClassifier,
 )
+from ss25_hierarchical_multiscale_image_classification_tpu.models.quantized import (  # noqa: F401
+    QuantizedResNet18,
+    quantize_resnet18,
+)
