@@ -159,12 +159,26 @@ def predict_slide(
             if qstep is None:
                 return np.asarray(step(params, batch_stats, _put(imgs_u8)))
             if "tree" not in qstate:
-                # calibrate on this slide's first tissue batch
+                # calibrate on this slide's first tissue batch, resized the
+                # same way the step resizes (the folded stem's bias map is
+                # shape-bound to the calibration input size)
                 from ss25_hierarchical_multiscale_image_classification_tpu.models.quantized import (
                     quantize_resnet18,
                 )
 
-                q = quantize_resnet18(variables, [imgs_u8])
+                cal = imgs_u8
+                if cal.shape[1] != input_size:
+                    import jax.numpy as jnp
+
+                    f = jax.image.resize(
+                        jnp.asarray(cal, jnp.float32),
+                        (cal.shape[0], input_size, input_size, 3),
+                        method="bilinear",
+                    )
+                    cal = np.asarray(
+                        jnp.clip(jnp.round(f), 0, 255).astype(jnp.uint8)
+                    )
+                q = quantize_resnet18(variables, [cal])
                 tree = q.tree()
                 if mesh is not None:
                     from ss25_hierarchical_multiscale_image_classification_tpu.parallel.mesh import (

@@ -186,11 +186,13 @@ class QuantizedResNet18:
     biases: dict[str, jnp.ndarray]            # f32 per output channel
     ascales: dict[str, jnp.ndarray]           # f32 scalars per quant point
     fc: tuple[jnp.ndarray, jnp.ndarray] | None
+    stem_bias_map: jnp.ndarray | None = None  # f32 (H/2, W/2, C) normalize fold
 
     def tree(self) -> dict[str, Any]:
         return {
             "qkernels": self.qkernels, "wscales": self.wscales,
             "biases": self.biases, "ascales": self.ascales, "fc": self.fc,
+            "stem_bias_map": self.stem_bias_map,
         }
 
     def forward(self, imgs_u8):
@@ -237,15 +239,62 @@ def calibrate(folded: dict, calib_batches) -> dict[str, jnp.ndarray]:
     }
 
 
-def quantize_resnet18(variables: dict, calib_batches) -> QuantizedResNet18:
+def _fold_normalize_into_stem(
+    folded: dict, input_hw: tuple[int, int] = (224, 224)
+) -> jnp.ndarray:
+    """Fold the ImageNet normalize into the stem conv so the int8 path
+    consumes raw ``u8 - 128`` pixels with NO separate normalize+quantize
+    pass (measured 4.6 ms → the whole u8→f32→round→int8 sweep disappears).
+
+    normalized = (u8 - mean)/std = (t + 128 - mean)/std with t = u8 - 128
+    exactly representable in int8. The 1/std per-input-channel factor folds
+    into the kernel; the (128 - mean)/std offset becomes a per-position
+    bias map A (f32, one conv over a constant plane) that is exact at the
+    borders where the float model's zero padding contributes nothing.
+
+    Mutates ``folded['stem']`` (kernel /= std) and returns A with shape
+    (H_out, W_out, C_out).
+    """
+    kernel, _bias = folded["stem"]
+    std = (np.asarray(IMAGENET_STD, np.float64) * 255.0).reshape(1, 1, 3, 1)
+    mean = np.asarray(IMAGENET_MEAN, np.float64) * 255.0
+    kernel_f = (np.asarray(kernel, np.float64) / std).astype(np.float32)
+    folded["stem"] = (kernel_f, folded["stem"][1])
+
+    # A[y, x, o] = sum over in-bounds taps of kernel_f * (128 - mean_c):
+    # one f32 conv of the constant plane with the folded kernel.
+    h, w = input_hw
+    plane = np.broadcast_to(
+        (128.0 - mean).astype(np.float32), (1, h, w, 3)
+    )
+    dn = lax.conv_dimension_numbers(
+        plane.shape, kernel_f.shape, ("NHWC", "HWIO", "NHWC")
+    )
+    a = lax.conv_general_dilated(
+        jnp.asarray(plane), jnp.asarray(kernel_f), (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
+    )
+    return a[0]  # (H/2, W/2, C_out)
+
+
+def quantize_resnet18(
+    variables: dict, calib_batches, fold_stem_normalize: bool = True
+) -> QuantizedResNet18:
     """Fold BN, quantize weights per-channel, calibrate activation scales."""
     folded = fold_batchnorm(variables)
     ascales = calibrate(folded, calib_batches)
+    bias_map = None
+    if fold_stem_normalize:
+        hw = None
+        for b in calib_batches:
+            hw = (int(b.shape[1]), int(b.shape[2]))
+            break
+        bias_map = _fold_normalize_into_stem(folded, hw or (224, 224))
     qk, ws, bs = _quantize_weights(folded)
     fc = None
     if "fc" in folded:
         fc = (jnp.asarray(folded["fc"][0]), jnp.asarray(folded["fc"][1]))
-    return QuantizedResNet18(qk, ws, bs, ascales, fc)
+    return QuantizedResNet18(qk, ws, bs, ascales, fc, stem_bias_map=bias_map)
 
 
 # ---------------------------------------------------------------------------
@@ -281,19 +330,30 @@ def quant_forward(qp: dict, imgs_u8, with_fc: bool = True):
     Every inter-layer HBM tensor is int8; epilogues run in f32 and fuse.
     """
     qk, ws, bs, sc = qp["qkernels"], qp["wscales"], qp["biases"], qp["ascales"]
-
-    # input: normalize (u8 affine) and quantize in one fused elementwise pass
-    s_in = sc["in"]
-    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
-    std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
-    xf = (imgs_u8.astype(jnp.float32) - mean) / (std * s_in)
-    xq = jnp.clip(jnp.round(xf), -127.0, 127.0).astype(jnp.int8)
-
-    # stem: int8 conv7x7/2 -> f32 epilogue -> int8 ; maxpool on int8 (order
-    # swaps with monotone requant+relu exactly)
-    y32 = _convq(xq, qk["stem"], 2, [(3, 3), (3, 3)])
     s_p0 = sc["p0"]
-    x = _requant(y32, s_in * ws["stem"], bs["stem"], s_p0)
+
+    if qp.get("stem_bias_map") is not None:
+        # normalize folded into the stem weights: the conv consumes raw
+        # u8 - 128 pixels (exact int8, no quantization error on the input,
+        # no separate normalize/round pass over the 224² plane); the bias
+        # map restores the (128 - mean)/std offset with exact zero-pad
+        # border semantics.
+        t = (imgs_u8.astype(jnp.int16) - 128).astype(jnp.int8)
+        y32 = _convq(t, qk["stem"], 2, [(3, 3), (3, 3)])
+        x = _requant(
+            y32, ws["stem"], bs["stem"] + qp["stem_bias_map"], s_p0
+        )
+    else:
+        # explicit path: normalize (u8 affine) + quantize in one fused pass
+        s_in = sc["in"]
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
+        std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
+        xf = (imgs_u8.astype(jnp.float32) - mean) / (std * s_in)
+        xq = jnp.clip(jnp.round(xf), -127.0, 127.0).astype(jnp.int8)
+        y32 = _convq(xq, qk["stem"], 2, [(3, 3), (3, 3)])
+        x = _requant(y32, s_in * ws["stem"], bs["stem"], s_p0)
+
+    # maxpool on int8 (order swaps with monotone requant+relu exactly)
     x = lax.reduce_window(
         x, jnp.int8(-128), lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
         [(0, 0), (1, 1), (1, 1), (0, 0)],

@@ -118,3 +118,15 @@ def test_check_structure_flag(synthetic_case, capsys):
     assert main(["--check_structure", "--data_dir", synthetic_case]) == 0
     # --base_dir is the README-documented alias of --data_dir
     assert main(["--check_structure", "--base_dir", synthetic_case]) == 0
+
+
+def test_new_round2_flags_parse():
+    """Rebuild-only capability flags: int8 inference + fleet group size."""
+    parser = build_parser()
+    args = parser.parse_args(
+        ["--extract_features", "--int8", "--predict_slide", "slides/",
+         "--group_size", "4"]
+    )
+    assert args.int8 and args.group_size == 4
+    args = parser.parse_args(["--train"])
+    assert not args.int8 and args.group_size is None
