@@ -104,6 +104,7 @@ def predict_slide(
     input_size: int = 224,
     mesh=None,
     int8: bool = False,
+    warmup: bool = False,
 ) -> tuple[np.ndarray, PatchGrid]:
     """Tumor probability per grid cell.
 
@@ -155,9 +156,10 @@ def predict_slide(
             def _put(x):
                 return x
 
-        def run_batch(imgs_u8: np.ndarray) -> np.ndarray:
+        def run_batch(imgs_u8: np.ndarray):
+            """Dispatch one device batch; returns the (async) device array."""
             if qstep is None:
-                return np.asarray(step(params, batch_stats, _put(imgs_u8)))
+                return step(params, batch_stats, _put(imgs_u8))
             if "tree" not in qstate:
                 # calibrate on this slide's first tissue batch, resized the
                 # same way the step resizes (the folded stem's bias map is
@@ -187,60 +189,104 @@ def predict_slide(
 
                     tree = _rep(mesh, tree)
                 qstate["tree"] = tree
-            return np.asarray(qstep(qstate["tree"], _put(imgs_u8)))
+            return qstep(qstate["tree"], _put(imgs_u8))
 
         ps = grid.patch_size
+        stride_px = grid.stride
         n = len(coords)
         probs = np.zeros((n,), np.float32)
+        level_w, level_h = slide.level_dimensions[level]
 
-        batch_reader = getattr(slide, "read_regions", None)
+        if warmup and qstep is None:
+            # compile the step before the timed loop (a test-set run pays
+            # one compile; per-slide wall-clock should not include it).
+            # int8 skips this: its lazy calibration must see real tissue.
+            np.asarray(
+                run_batch(np.full((batch_size, ps, ps, 3), 255, np.uint8))
+            )
 
-        def read_chunk(idx: np.ndarray) -> np.ndarray:
-            """Decode a chunk of grid cells; native threaded path when the
-            slide supports it (the C++ decoder pads out-of-bounds white,
-            matching the extraction pipeline)."""
-            if batch_reader is not None:
-                return batch_reader(coords[idx], level, (ps, ps))
-            out = np.empty((len(idx), ps, ps, 3), np.uint8)
-            for j, i in enumerate(idx):
-                x, y = int(coords[i, 0]), int(coords[i, 1])
-                w, h = grid.valid_patch_extent(x, y)
-                region = slide.read_region(
-                    grid.level0_origin(x, y), level, (w, h)
-                )
-                if w < ps or h < ps:
-                    full = np.full((ps, ps, 3), 255, np.uint8)
-                    full[:h, :w] = region
-                    region = full
-                out[j] = region
-            return out
+        def read_band(iy: int) -> np.ndarray:
+            """Decode one full-width grid row band (each compressed tile is
+            decoded at most twice per slide instead of ~10x for per-patch
+            region reads at 224-px cells over 512-px tiles)."""
+            y = iy * stride_px
+            h = min(ps, level_h - y)
+            band = slide.read_region(grid.level0_origin(0, y), level,
+                                     (level_w, h))
+            if h < ps:
+                full = np.full((ps, level_w, 3), 255, np.uint8)
+                full[:h] = band
+                band = full
+            return band
 
-        from ss25_hierarchical_multiscale_image_classification_tpu.io.native_lib import (
-            patch_means,
-        )
+        import queue as _queue
+        import threading as _threading
+
+        ny, nx_cells = grid.ny, grid.nx
+        band_q: _queue.Queue = _queue.Queue(maxsize=2)
+
+        def band_producer() -> None:
+            try:
+                for iy in range(ny):
+                    band_q.put((iy, read_band(iy)))
+                band_q.put(None)
+            except BaseException as e:  # propagate to the consumer
+                band_q.put(e)
 
         with Timer(f"predict_slide[{n} cells]", log):
-            batch_imgs = np.zeros((batch_size, ps, ps, 3), np.uint8)
+            producer = _threading.Thread(target=band_producer, daemon=True)
+            producer.start()
+
+            batch_imgs = np.full((batch_size, ps, ps, 3), 255, np.uint8)
             batch_pos: list[int] = []
-            # decode in device-batch-sized chunks so host decode (threaded
-            # C++) overlaps the previous chunk's device compute (async jit
-            # dispatch)
-            for start in range(0, n, batch_size):
-                idx = np.arange(start, min(start + batch_size, n))
-                chunk = read_chunk(idx)
-                keep = patch_means(chunk) <= tissue_threshold
-                for j in np.flatnonzero(keep):
-                    batch_imgs[len(batch_pos)] = chunk[j]
-                    batch_pos.append(int(idx[j]))
+            pending: tuple | None = None  # (device_probs, positions)
+
+            def dispatch(imgs: np.ndarray, positions: list[int]) -> None:
+                """One-batch-lag pipeline: fetch batch k-1 only after batch
+                k dispatches, so host decode/transfer overlaps device
+                compute."""
+                nonlocal pending
+                dev = run_batch(imgs)
+                if pending is not None:
+                    prev_dev, prev_pos = pending
+                    probs[prev_pos] = np.asarray(prev_dev)[: len(prev_pos)]
+                pending = (dev, np.asarray(positions))
+
+            while True:
+                item = band_q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                iy, band = item
+                # per-cell tissue filter on the band (vectorized means)
+                for ix in range(nx_cells):
+                    x = ix * stride_px
+                    patch = band[:, x : x + ps]
+                    if patch.shape[1] < ps:
+                        full = np.full((ps, ps, 3), 255, np.uint8)
+                        full[:, : patch.shape[1]] = patch
+                        patch = full
+                    if patch.mean() > tissue_threshold:
+                        continue
+                    batch_imgs[len(batch_pos)] = patch
+                    # coords_array order is x-outer / y-inner (reference
+                    # enumeration): flat index = ix * ny + iy
+                    batch_pos.append(ix * ny + iy)
                     if len(batch_pos) == batch_size:
-                        probs[np.asarray(batch_pos)] = run_batch(batch_imgs)
+                        dispatch(batch_imgs, batch_pos)
+                        # fresh buffer: the dispatched one may still be in
+                        # flight (host→device copy is asynchronous)
+                        batch_imgs = np.full(
+                            (batch_size, ps, ps, 3), 255, np.uint8
+                        )
                         batch_pos = []
             if batch_pos:
-                # white-fill the unused tail: same static shape (no
-                # recompile), no stale rows from the previous batch
-                batch_imgs[len(batch_pos):] = 255
-                p = run_batch(batch_imgs)
-                probs[np.asarray(batch_pos)] = p[: len(batch_pos)]
+                dispatch(batch_imgs, batch_pos)
+            if pending is not None:
+                dev, pos_arr = pending
+                probs[pos_arr] = np.asarray(dev)[: len(pos_arr)]
+            producer.join()
 
         # scatter into the (ny, nx) grid
         stride_px = grid.stride

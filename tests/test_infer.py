@@ -151,3 +151,37 @@ def test_full_froc_producer_consumer_loop(synthetic_case, small_classifier, tmp_
     assert result["names"] == ["tumor_001"]
     assert result["num_tumors"][0] >= 0
     assert "score" in result
+
+
+def test_predict_slide_grid_orientation(small_classifier):
+    """Probability cells land at their true grid positions: tissue confined
+    to one known cell must light up exactly that cell (catches any
+    flat-index / scatter-order mismatch in the banded decode pipeline)."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.slide import (
+        ArraySlide,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.synthetic import (
+        build_pyramid,
+    )
+
+    model, variables = small_classifier
+
+    # horizontal: level-3 plane is 448x224 → 2x1 grid; tissue only right
+    l0 = np.full((1792, 3584, 3), 255, np.uint8)
+    l0[:, 1792:] = 120
+    probs, grid = predict_slide(
+        ArraySlide(build_pyramid(l0, 4)), variables, level=3, batch_size=4,
+        model=model, input_size=64,
+    )
+    assert probs.shape == (1, 2)
+    assert probs[0, 0] == 0.0 and probs[0, 1] > 0.0
+
+    # vertical: 224x448 plane → 1x2 grid; tissue only bottom
+    l0 = np.full((3584, 1792, 3), 255, np.uint8)
+    l0[1792:, :] = 120
+    probs, grid = predict_slide(
+        ArraySlide(build_pyramid(l0, 4)), variables, level=3, batch_size=4,
+        model=model, input_size=64,
+    )
+    assert probs.shape == (2, 1)
+    assert probs[0, 0] == 0.0 and probs[1, 0] > 0.0
