@@ -83,7 +83,8 @@ def run_bench(batch_size: int = 512, iters: int = 50, warmup: int = 5) -> dict:
     }
 
 
-def run_bench_int8(batch_size: int = 512, iters: int = 50, warmup: int = 5) -> dict:
+def run_bench_int8(batch_size: int = 512, iters: int = 50, warmup: int = 5,
+                   stem_s2d: bool | None = None) -> dict:
     """w8a8 variant of the same hot loop (``--int8`` deployment path):
     uint8 batch → fused normalize+quantize → int8 MXU ResNet18 trunk."""
     import jax
@@ -103,7 +104,7 @@ def run_bench_int8(batch_size: int = 512, iters: int = 50, warmup: int = 5) -> d
     )
     rng = np.random.default_rng(0)
     calib = rng.integers(0, 256, (256, 224, 224, 3), dtype=np.uint8)
-    q = quantize_resnet18(dict(variables), [calib])
+    q = quantize_resnet18(dict(variables), [calib], stem_s2d=stem_s2d)
     qtree = q.tree()
 
     @jax.jit
@@ -136,5 +137,8 @@ def run_bench_int8(batch_size: int = 512, iters: int = 50, warmup: int = 5) -> d
 if __name__ == "__main__":
     import sys
 
-    result = run_bench_int8() if "--int8" in sys.argv else run_bench()
+    if "--int8" in sys.argv:
+        result = run_bench_int8(stem_s2d=False if "--no-s2d" in sys.argv else None)
+    else:
+        result = run_bench()
     print(json.dumps(result))

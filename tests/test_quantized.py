@@ -226,3 +226,14 @@ def test_int8_predict_slide(synthetic_case, setup):
     assert probs.shape == (grid.ny, grid.nx)
     assert (probs >= 0).all() and (probs <= 1).all()
     assert np.isfinite(probs).all()
+
+
+def test_stem_s2d_exact_equivalence(setup):
+    """The space-to-depth stem reformulation is bit-exact vs the direct
+    7x7/2 int8 conv (integer accumulation is order-independent)."""
+    _, variables, imgs = setup
+    q_ref = quantize_resnet18(variables, [imgs], stem_s2d=False)
+    q_s2d = quantize_resnet18(variables, [imgs], stem_s2d=True)
+    ref = np.asarray(q_ref.forward(jnp.asarray(imgs)))
+    got = np.asarray(q_s2d.forward(jnp.asarray(imgs)))
+    np.testing.assert_array_equal(got, ref)
