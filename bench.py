@@ -20,34 +20,54 @@ import numpy as np
 BASELINE_PATCHES_PER_SEC = 20_000.0
 
 
-def run_bench(batch_size: int = 512, iters: int = 50, warmup: int = 5) -> dict:
+def run_bench(batch_size: int = 512, iters: int = 50, warmup: int = 5,
+              folded: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from ss25_hierarchical_multiscale_image_classification_tpu.data.augment import (
-        preprocess_batch,
-    )
     from ss25_hierarchical_multiscale_image_classification_tpu.models.resnet import (
         ResNet18FeatureExtractor,
     )
 
-    # bf16 inference weights (deployment practice: no per-step f32→bf16
-    # weight conversion traffic)
-    model = ResNet18FeatureExtractor(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    model = ResNet18FeatureExtractor(dtype=jnp.bfloat16)
     variables = model.init(
         jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32), train=False
     )
-    params = variables["params"]
-    batch_stats = variables["batch_stats"]
 
-    @jax.jit
-    def step(params, batch_stats, imgs_u8):
-        imgs = preprocess_batch(jax.random.key(0), imgs_u8, training=False)
-        feats = model.apply(
-            {"params": params, "batch_stats": batch_stats}, imgs, train=False
+    if folded:
+        # production float inference path (infer/features.py): BN +
+        # ImageNet-normalize folded into the convs, space-to-depth stem,
+        # bf16 activations — math-equivalent to the flax eval forward
+        # (parity tests in tests/test_quantized.py).
+        from ss25_hierarchical_multiscale_image_classification_tpu.models.quantized import (
+            fold_resnet18_inference,
+            folded_forward_inference,
         )
-        # reduce so the timing fetch is a scalar, not a (B, 512) transfer
-        return jnp.sum(feats)
+
+        fp = fold_resnet18_inference(dict(variables), input_hw=(224, 224))
+
+        @jax.jit
+        def step(fp, _bs, imgs_u8):
+            # reduce so the timing fetch is a scalar, not a (B, 512) transfer
+            return jnp.sum(folded_forward_inference(fp, imgs_u8, with_fc=False))
+
+        params, batch_stats = fp, None
+    else:
+        from ss25_hierarchical_multiscale_image_classification_tpu.data.augment import (
+            preprocess_batch,
+        )
+
+        params = variables["params"]
+        batch_stats = variables["batch_stats"]
+
+        @jax.jit
+        def step(params, batch_stats, imgs_u8):
+            imgs = preprocess_batch(jax.random.key(0), imgs_u8, training=False)
+            feats = model.apply(
+                {"params": params, "batch_stats": batch_stats}, imgs,
+                train=False,
+            )
+            return jnp.sum(feats)
 
     # Pre-stage two device-resident uint8 batches: this measures the chip's
     # steady-state inference rate (normalize + ResNet18 fwd). In production
@@ -140,5 +160,5 @@ if __name__ == "__main__":
     if "--int8" in sys.argv:
         result = run_bench_int8(stem_s2d=False if "--no-s2d" in sys.argv else None)
     else:
-        result = run_bench()
+        result = run_bench(folded="--unfolded" not in sys.argv)
     print(json.dumps(result))

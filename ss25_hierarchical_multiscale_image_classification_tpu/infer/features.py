@@ -122,18 +122,33 @@ def run_feature_extraction(
             return qstep(qtree, imgs)
 
     else:
-        model = ResNet18FeatureExtractor(dtype=dtype)
-        variables = replicate(
-            mesh,
-            {
-                "params": variables["params"],
-                "batch_stats": variables.get("batch_stats", {}),
-            },
+        # inference-folded bf16 path: BN + ImageNet-normalize folded into
+        # the convs (models/quantized.py), so the jitted step consumes the
+        # raw uint8 batch with no separate normalize pass. Math-equivalent
+        # to the flax eval forward (parity tests in tests/test_quantized.py).
+        from ss25_hierarchical_multiscale_image_classification_tpu.models.quantized import (
+            fold_resnet18_inference,
+            folded_forward_inference,
         )
-        step = make_feature_step(model)
+
+        hw = int(getattr(dataset, "resize_to", 224) or 224)
+        fp = replicate(
+            mesh,
+            fold_resnet18_inference(
+                {
+                    "params": variables["params"],
+                    "batch_stats": variables.get("batch_stats", {}),
+                },
+                input_hw=(hw, hw),
+                dtype=dtype,
+            ),
+        )
+        fstep = jax.jit(
+            lambda fp, imgs: folded_forward_inference(fp, imgs, with_fc=False)
+        )
 
         def step_fn(imgs):
-            return step(variables["params"], variables["batch_stats"], imgs)
+            return fstep(fp, imgs)
 
     from ss25_hierarchical_multiscale_image_classification_tpu.data.prefetch import (
         Prefetcher,

@@ -299,6 +299,107 @@ def _stem_kernel_s2d(kernel_f: np.ndarray) -> np.ndarray:
     return out
 
 
+def fold_resnet18_inference(
+    variables: dict,
+    input_hw: tuple[int, int] = (224, 224),
+    stem_s2d: bool = False,
+    dtype=jnp.bfloat16,
+) -> dict:
+    """Float (bf16) inference-folded weights: BN folded into the convs,
+    ImageNet normalize folded into the stem, optional space-to-depth stem.
+
+    The same inference-identity transforms as the int8 path, minus the
+    quantization: the jitted forward consumes raw uint8 batches with no
+    separate normalize pass and no BN elementwise stage, and every conv
+    input is bf16 (u8−128 is exactly representable). This is the float
+    deployment path for ``--extract_features`` (reference hot loop
+    ``src/main.py:867-873``).
+
+    ``stem_s2d`` defaults OFF here: in bf16 the explicit space-to-depth
+    transpose costs a full input pass and measures slower than XLA's own
+    7×7 handling (30.5k vs 32.6k patches/s/chip) — the opposite of the
+    int8 path, where it wins 7%.
+
+    Returns a pytree for :func:`folded_forward_inference`.
+    """
+    folded = fold_batchnorm(variables)
+    bias_map = _fold_normalize_into_stem(folded, input_hw)
+    if stem_s2d and (input_hw[0] % 2 or input_hw[1] % 2):
+        raise ValueError("stem_s2d requires even input H/W")
+    if stem_s2d:
+        folded["stem"] = (
+            _stem_kernel_s2d(folded["stem"][0]), folded["stem"][1]
+        )
+    kernels, biases, fc = {}, {}, None
+    for name, (k, b) in folded.items():
+        if name == "fc":
+            fc = (jnp.asarray(k, dtype), jnp.asarray(b, jnp.float32))
+            continue
+        kernels[name] = jnp.asarray(k, dtype)
+        biases[name] = jnp.asarray(b, dtype)
+    # stem epilogue: BN bias + normalize-offset map in one precomputed map
+    stem_map = (jnp.asarray(bias_map) + biases["stem"]).astype(dtype)
+    return {
+        "kernels": kernels,
+        "biases": biases,
+        "fc": fc,
+        "stem_bias_map": stem_map,
+    }
+
+
+def _convb(x, kernel, strides, pad):
+    """bf16 conv, bf16 output (MXU accumulates f32 internally)."""
+    dn = lax.conv_dimension_numbers(
+        x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+    )
+    return lax.conv_general_dilated(
+        x, kernel, (strides, strides), pad, dimension_numbers=dn,
+        preferred_element_type=kernel.dtype,
+    )
+
+
+def folded_forward_inference(fp: dict, imgs_u8, with_fc: bool = True):
+    """Jittable bf16 forward on :func:`fold_resnet18_inference` weights.
+
+    All-bf16 data flow (the MXU still accumulates partial products in
+    f32); epilogues (bias/bias-map + residual + ReLU) fuse into the convs,
+    so the graph has no normalize pass and no BN elementwise stage.
+    """
+    k, b = fp["kernels"], fp["biases"]
+    dtype = k["stem"].dtype
+    t = (imgs_u8.astype(jnp.int16) - 128).astype(dtype)
+    if k["stem"].shape[0] == 4:  # space-to-depth stem
+        b_, h_, w_, _ = t.shape
+        s = t.reshape(b_, h_ // 2, 2, w_ // 2, 2, 3)
+        s = s.transpose(0, 1, 3, 2, 4, 5).reshape(b_, h_ // 2, w_ // 2, 12)
+        y = _convb(s, k["stem"], 1, [(2, 1), (2, 1)])
+    else:
+        y = _convb(t, k["stem"], 2, [(3, 3), (3, 3)])
+    x = jax.nn.relu(y + fp["stem_bias_map"])
+    x = lax.reduce_window(
+        x, jnp.asarray(-jnp.inf, dtype), lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    for i, blocks in _STAGES:
+        for j in range(blocks):
+            strides = 2 if i > 1 and j == 0 else 1
+            y = _convb(x, k[f"s{i}b{j}c1"], strides, [(1, 1), (1, 1)])
+            y1 = jax.nn.relu(y + b[f"s{i}b{j}c1"])
+            y = _convb(y1, k[f"s{i}b{j}c2"], 1, [(1, 1), (1, 1)])
+            if f"s{i}b{j}down" in k:
+                res = (
+                    _convb(x, k[f"s{i}b{j}down"], strides, [(0, 0), (0, 0)])
+                    + b[f"s{i}b{j}down"]
+                )
+            else:
+                res = x
+            x = jax.nn.relu(y + b[f"s{i}b{j}c2"] + res)
+    feats = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+    if with_fc and fp["fc"] is not None:
+        return feats @ fp["fc"][0].astype(jnp.float32) + fp["fc"][1]
+    return feats
+
+
 def quantize_resnet18(
     variables: dict, calib_batches, fold_stem_normalize: bool = True,
     stem_s2d: bool | None = None,

@@ -237,3 +237,66 @@ def test_stem_s2d_exact_equivalence(setup):
     ref = np.asarray(q_ref.forward(jnp.asarray(imgs)))
     got = np.asarray(q_s2d.forward(jnp.asarray(imgs)))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_folded_bf16_inference_parity(setup):
+    """The bf16 inference-folded forward (BN fold + normalize fold + s2d
+    stem) matches the f32 folded reference within bf16 tolerance."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.models.quantized import (
+        fold_resnet18_inference,
+        folded_forward_inference,
+    )
+
+    _, variables, imgs = setup
+    fp = fold_resnet18_inference(variables, input_hw=imgs.shape[1:3])
+    got = np.asarray(folded_forward_inference(fp, jnp.asarray(imgs)))
+    ref = np.asarray(folded_forward(fold_batchnorm(variables), jnp.asarray(imgs)))
+    assert got.shape == ref.shape
+    cos = (got * ref).sum(-1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(ref, axis=-1)
+    )
+    assert cos.min() > 0.995, cos
+    # magnitudes agree to bf16 precision at the batch level
+    np.testing.assert_allclose(
+        np.linalg.norm(got, axis=-1), np.linalg.norm(ref, axis=-1), rtol=0.05
+    )
+
+
+def test_folded_bf16_features_match_flax_extractor(setup):
+    """with_fc=False features line up with the flax bf16 extractor path
+    (the pre-fold production forward)."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.data.augment import (
+        preprocess_batch,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.models.quantized import (
+        fold_resnet18_inference,
+        folded_forward_inference,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.models.resnet import (
+        ResNet18FeatureExtractor,
+        strip_head,
+    )
+
+    _, variables, imgs = setup
+    trunk = strip_head(
+        {"params": dict(variables["params"]),
+         "batch_stats": dict(variables["batch_stats"])}
+    )
+    model = ResNet18FeatureExtractor(dtype=jnp.bfloat16)
+    ref = np.asarray(
+        model.apply(
+            trunk,
+            preprocess_batch(jax.random.key(0), jnp.asarray(imgs), training=False),
+            train=False,
+        ),
+        np.float32,
+    )
+    fp = fold_resnet18_inference(trunk, input_hw=imgs.shape[1:3])
+    got = np.asarray(
+        folded_forward_inference(fp, jnp.asarray(imgs), with_fc=False)
+    )
+    assert got.shape == ref.shape == (imgs.shape[0], 512)
+    cos = (got * ref).sum(-1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(ref, axis=-1)
+    )
+    assert cos.min() > 0.995, cos
