@@ -131,10 +131,21 @@ def run_bench_int8(batch_size: int = 512, iters: int = 50, warmup: int = 5,
     def step(qp, imgs_u8):
         return jnp.sum(quant_forward(qp, imgs_u8, with_fc=False))
 
+    def stage(batch):
+        # with the s2d stem the production gather emits the space-to-depth
+        # layout host-side (io/native_lib.gather_rows_s2d — same bytes
+        # moved as the plain gather), so stage the benchmark batches the
+        # same way: no on-device transpose in the timed loop.
+        if int(q.qkernels["stem"].shape[0]) == 4:
+            from ss25_hierarchical_multiscale_image_classification_tpu.io.native_lib import (
+                space_to_depth_u8,
+            )
+
+            batch = space_to_depth_u8(batch)
+        return jax.device_put(batch)
+
     dev_batches = [
-        jax.device_put(
-            rng.integers(0, 256, (batch_size, 224, 224, 3), dtype=np.uint8)
-        )
+        stage(rng.integers(0, 256, (batch_size, 224, 224, 3), dtype=np.uint8))
         for _ in range(2)
     ]
     for i in range(warmup):

@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""Full test-set FROC proof: train → fleet producer → official FROC, e2e.
+
+The reference ships only the FROC *consumer* (``src/main.py:1168-1225``
+iterates pre-existing detection CSVs); the producer is absent. This script
+exercises the rebuilt full loop at CAMELYON16-test scale on a synthetic
+test set:
+
+1. fabricates 12 training slides + a 48-slide test set (22 macro-tumor,
+   2 ITC-sized tumor, 24 normal — the official test set is 48 cases of
+   which ~half contain metastases), 6-level pyramids so the evaluation
+   runs at the clinical EVALUATION_MASK_LEVEL=5 with the spec constants;
+2. drives the CLI end to end: ``--patch`` → ``--train`` → then the ONE
+   command ``--predict_slide <test/img> --run_evaluation`` which runs the
+   fleet sliding-window producer over all 48 slides and the official FROC
+   evaluation in a single invocation;
+3. records measured wall-clock per phase + the FROC score to
+   ``docs/proofs/froc_e2e_report.json``.
+
+Ground-truth masks are rasterized from the same polygons at level 5 into
+``test/mask/{case}_mask.npy`` (the consumer's expected layout).
+
+Usage: python scripts/froc_e2e_proof.py [--root DIR] [--keep]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# Slide geometry: 7168x5376 level 0 = exactly 4x3 patch cells of 1792^2
+# (the co-located multiscale grid), 6 levels so level 5 exists (224x168).
+W0, H0 = 7168, 5376
+NUM_LEVELS = 6
+N_TRAIN_TUMOR, N_TRAIN_NORMAL = 6, 6
+N_TEST_TUMOR, N_TEST_ITC, N_TEST_NORMAL = 22, 2, 24
+
+
+def _tumor_poly(rng, small: bool = False):
+    """A convex-ish blob polygon in fractional coords, inside the tissue."""
+    cx = rng.uniform(0.38, 0.62)
+    cy = rng.uniform(0.38, 0.62)
+    # macro tumors span >= ~20% of the slide (major axis at level 5 well
+    # above the 275 um ITC threshold = 35 px there); "small" ones are
+    # ITC-sized (~4% => ~9 px at level 5, under the threshold even after
+    # the 75 um expansion).
+    r = rng.uniform(0.10, 0.17) if not small else rng.uniform(0.018, 0.022)
+    angles = np.sort(rng.uniform(0, 2 * np.pi, 7))
+    return tuple(
+        (cx + r * rng.uniform(0.75, 1.0) * np.cos(a),
+         cy + r * rng.uniform(0.75, 1.0) * np.sin(a))
+        for a in angles
+    )
+
+
+def fabricate(root: str) -> None:
+    from ss25_hierarchical_multiscale_image_classification_tpu.grid.rasterize import (
+        polygons_to_mask,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.synthetic import (
+        SyntheticSlideSpec,
+        write_synthetic_case,
+    )
+
+    rng = np.random.default_rng(42)
+    t0 = time.time()
+
+    def spec(seed, polys=()):
+        return SyntheticSlideSpec(
+            width=W0, height=H0, num_levels=NUM_LEVELS,
+            tissue_radii=(0.45, 0.45), tumor_polygons=polys, seed=seed,
+        )
+
+    def _exists(name, split):
+        return os.path.exists(
+            os.path.join(root, split, "img", f"{name}.wsi.npz")
+        )
+
+    for i in range(N_TRAIN_TUMOR):
+        poly = _tumor_poly(rng)  # keep the rng stream fixed even on skip
+        if not _exists(f"tumor_{i + 1:03d}", "train"):
+            write_synthetic_case(
+                root, f"tumor_{i + 1:03d}", spec(100 + i, (poly,)),
+                split="train",
+            )
+    for i in range(N_TRAIN_NORMAL):
+        if not _exists(f"normal_{i + 1:03d}", "train"):
+            write_synthetic_case(
+                root, f"normal_{i + 1:03d}", spec(200 + i), split="train"
+            )
+
+    mask_dir = os.path.join(root, "test", "mask")
+    os.makedirs(mask_dir, exist_ok=True)
+    l5 = (W0 // 32, H0 // 32)
+    case = 0
+    for kind, n in (("tumor", N_TEST_TUMOR), ("itc", N_TEST_ITC),
+                    ("normal", N_TEST_NORMAL)):
+        for i in range(n):
+            case += 1
+            name = f"test_{case:03d}"
+            polys = ()
+            if kind != "normal":
+                polys = (_tumor_poly(rng, small=kind == "itc"),)
+            if not _exists(name, "test"):
+                write_synthetic_case(root, name, spec(300 + case, polys),
+                                     split="test")
+            if polys:
+                polys_l0 = [
+                    np.array([(fx * W0, fy * H0) for fx, fy in p])
+                    for p in polys
+                ]
+                mask = polygons_to_mask(polys_l0, l5, (W0, H0))
+                np.save(os.path.join(mask_dir, f"{name}_mask.npy"),
+                        np.asarray(mask, np.uint8))
+    print(f"[fabricate] {time.time() - t0:.1f}s")
+
+
+def cli(args: list[str], root: str, models: str) -> float:
+    cmd = [sys.executable, os.path.join(REPO, "main.py"), *args,
+           "--data_dir", root, "--models_dir", models]
+    t0 = time.time()
+    r = subprocess.run(cmd, cwd=REPO)
+    if r.returncode != 0:
+        raise SystemExit(f"CLI failed: {' '.join(args)}")
+    return time.time() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/hipac_froc")
+    ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--int8", action="store_true")
+    a = ap.parse_args()
+
+    if os.path.exists(a.root) and not a.keep:
+        shutil.rmtree(a.root)
+    os.makedirs(a.root, exist_ok=True)
+    models = os.path.join(a.root, "models")
+    # slides/masks are reusable across runs (--keep); derived artifacts
+    # (patch stores, checkpoints, CSVs) are not — always start them fresh
+    for sub in ("patches", "models"):
+        shutil.rmtree(os.path.join(a.root, sub), ignore_errors=True)
+
+    fabricate(a.root)
+    # overlapping extraction (stride = patch/2) densifies the tiny
+    # 4x3-cells-per-slide training set
+    t_patch = cli(["--patch", "--patch_level", "3", "--stride", "112"],
+                  a.root, models)
+    print(f"[patch] {t_patch:.1f}s")
+    t_train = cli(
+        ["--train", "--patch_level", "3", "--epochs", "10",
+         "--batch_size", "32"], a.root, models,
+    )
+    print(f"[train] {t_train:.1f}s")
+
+    # THE one command: fleet producer over all 48 test slides + official
+    # FROC evaluation of the resulting CSVs, in a single CLI invocation.
+    # stride 56 at level 3 = a 448-px detection raster at level 0 — cell
+    # centers sample densely enough for the point-in-region hit test of
+    # the official algorithm (the reference's own heatmaps are strided).
+    one_cmd = ["--predict_slide", os.path.join(a.root, "test", "img"),
+               "--run_evaluation", "--patch_level", "3",
+               "--stride", "56", "--batch_size", "128"]
+    if a.int8:
+        one_cmd.append("--int8")
+    t_eval = cli(one_cmd, a.root, models)
+    print(f"[predict+froc] {t_eval:.1f}s")
+
+    # Re-read the consumer result to record the score (same call the CLI
+    # just made; cheap — masks and CSVs are small).
+    from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.froc import (
+        run_froc_evaluation,
+    )
+
+    result = run_froc_evaluation(
+        os.path.join(models, "model_predictions_csv"),
+        os.path.join(a.root, "test", "mask"),
+    )
+    n_csv = len(result["names"])
+    report = {
+        "metric": "froc_e2e_48_slide_test_set",
+        "n_slides": n_csv,
+        "n_tumor_slides": N_TEST_TUMOR + N_TEST_ITC,
+        "froc_score": round(float(result["score"]), 4),
+        "sensitivity_max": round(float(np.max(result["sensitivity"])), 4)
+        if len(result["sensitivity"]) else None,
+        "seconds_fabricate_excluded": True,
+        "seconds_patch": round(t_patch, 1),
+        "seconds_train": round(t_train, 1),
+        "seconds_predict_plus_froc_one_command": round(t_eval, 1),
+        "int8": a.int8,
+        "note": "48 synthetic slides (22 macro tumor / 2 ITC / 24 normal), "
+                "6-level pyramids, official constants at eval level 5; "
+                "producer=fleet sliding window, consumer=official FROC",
+    }
+    out = os.path.join(REPO, "docs", "proofs", "froc_e2e_report.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

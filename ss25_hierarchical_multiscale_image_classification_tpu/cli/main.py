@@ -86,6 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--overlay", action="store_true",
                         help="With --predict_slide: save the tumor heatmap "
                              "overlay at the coarsest level")
+    parser.add_argument("--stride", type=int, default=None,
+                        help="Patch-grid stride in level pixels (default: "
+                             "patch size, i.e. non-overlapping). Applies to "
+                             "--patch extraction and --predict_slide "
+                             "inference; smaller values give overlapping "
+                             "windows and denser detection grids")
     parser.add_argument("--simclr_features", action="store_true",
                         help="With --extract_features: use the SimCLR encoder")
     parser.add_argument("--epochs", type=int, default=None,
@@ -242,6 +248,7 @@ def main(argv=None) -> int:
                 store_format=cfg.data.patch_store_format,
                 impl=args.extract_impl,
                 stain_norm=args.stain_norm or cfg.data.stain_norm,
+                stride=args.stride,
             )
 
     if args.extract_features:
@@ -440,9 +447,14 @@ def main(argv=None) -> int:
                     "using one group", group_size, n_dev,
                 )
                 group_size = None
+            predict_kw = {}
+            if args.batch_size:
+                predict_kw["batch_size"] = args.batch_size
+            if args.stride:
+                predict_kw["stride"] = args.stride
             grids = predict_slide_fleet(
                 paths, variables, csv_dir, level=level,
-                group_size=group_size, int8=args.int8,
+                group_size=group_size, int8=args.int8, **predict_kw,
             )
             if args.overlay:
                 for path, prob_grid in grids.items():
@@ -453,9 +465,14 @@ def main(argv=None) -> int:
                     render_overlay(path, prob_grid, save_path=out)
                     log.info("Overlay saved: %s", out)
         else:
+            predict_kw = {}
+            if args.batch_size:
+                predict_kw["batch_size"] = args.batch_size
+            if args.stride:
+                predict_kw["stride"] = args.stride
             prob_grid, _csv = predict_and_export(
                 args.predict_slide, variables, csv_dir, level=level,
-                int8=args.int8,
+                int8=args.int8, **predict_kw,
             )
             if args.overlay:
                 out = os.path.join(

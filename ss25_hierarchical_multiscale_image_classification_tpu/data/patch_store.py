@@ -134,20 +134,51 @@ class PatchReader:
             return np.asarray(im.convert("RGB"), dtype=np.uint8)
 
     def read_batch(
-        self, indices: Sequence[int], resize_to: int | None = None
+        self, indices: Sequence[int], resize_to: int | None = None,
+        s2d: bool = False,
     ) -> np.ndarray:
         """Batch gather. Packed-store rows coming from one pack file go
         through the native OpenMP gather (one memcpy sweep) instead of a
-        per-index Python loop — the host half of the input pipeline."""
+        per-index Python loop — the host half of the input pipeline.
+
+        ``s2d=True`` emits the stem's space-to-depth layout
+        (B, edge/2, edge/2, 12): when no resize is needed the native
+        gather writes it directly (same bytes, different addresses — free
+        relative to the plain gather), feeding the int8 inference path
+        with no on-device transpose."""
         indices = [int(i) for i in indices]
         recs = [self.manifest[i] for i in indices]
-        if recs and all(r.store == "packed" for r in recs):
+        all_packed = bool(recs) and all(r.store == "packed" for r in recs)
+        if s2d and all_packed:
+            # direct s2d gather when every record is already at target size
+            sizes = {self._mmap(r.path).shape[1] for r in recs}
+            if len(sizes) == 1 and (
+                resize_to is None or resize_to == next(iter(sizes))
+            ):
+                from ss25_hierarchical_multiscale_image_classification_tpu.io.native_lib import (
+                    gather_rows_s2d,
+                )
+
+                out = [None] * len(recs)
+                by_path: dict[str, list[int]] = {}
+                for pos, r in enumerate(recs):
+                    by_path.setdefault(r.path, []).append(pos)
+                for path, positions in by_path.items():
+                    store = self._mmap(path)
+                    rows = np.array(
+                        [recs[p].row for p in positions], np.int64
+                    )
+                    gathered = gather_rows_s2d(np.asarray(store), rows)
+                    for j, p in enumerate(positions):
+                        out[p] = gathered[j]
+                return np.stack(out)
+        if all_packed:
             from ss25_hierarchical_multiscale_image_classification_tpu.io.native_lib import (
                 gather_rows,
             )
 
             imgs = [None] * len(recs)
-            by_path: dict[str, list[int]] = {}
+            by_path = {}
             for pos, r in enumerate(recs):
                 by_path.setdefault(r.path, []).append(pos)
             for path, positions in by_path.items():
@@ -160,7 +191,14 @@ class PatchReader:
             imgs = [self.read(i) for i in indices]
         if resize_to is not None:
             imgs = [_resize(img, resize_to) for img in imgs]
-        return np.stack(imgs)
+        batch = np.stack(imgs)
+        if s2d:
+            from ss25_hierarchical_multiscale_image_classification_tpu.io.native_lib import (
+                space_to_depth_u8,
+            )
+
+            batch = space_to_depth_u8(batch)
+        return batch
 
 
 def _resize(img: np.ndarray, edge: int) -> np.ndarray:

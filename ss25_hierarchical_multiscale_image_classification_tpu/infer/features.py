@@ -121,6 +121,14 @@ def run_feature_extraction(
         def step_fn(imgs):
             return qstep(qtree, imgs)
 
+        if int(q.qkernels["stem"].shape[0]) == 4:
+            # s2d stem: have the host gather emit the space-to-depth batch
+            # layout directly (same bytes moved), skipping the on-device
+            # transpose — measured 44.5k → 46.6k patches/s/chip.
+            import dataclasses as _dc
+
+            dataset = _dc.replace(dataset, s2d=True)
+
     else:
         # inference-folded bf16 path: BN + ImageNet-normalize folded into
         # the convs (models/quantized.py), so the jitted step consumes the

@@ -74,6 +74,33 @@ void hipac_gather_rows(const uint8_t* store, const int64_t* indices,
   }
 }
 
+// Gather rows from a packed (N, P, P, 3) uint8 store directly into the
+// stem's space-to-depth batch layout (B, P/2, P/2, 12):
+//   out[Y, X, (r*2+rx)*3 + c] = in[2Y+r, 2X+rx, c]
+// so the int8 inference stem (a 4x4/stride-1 conv over 12 input channels,
+// models/quantized.py) consumes the batch with NO on-device transpose.
+// For each output row Y the four input (r, rx) taps group into two 6-byte
+// runs per X: row 2Y bytes [6X, 6X+6) -> out [12X, 12X+6), and row 2Y+1
+// bytes [6X, 6X+6) -> out [12X+6, 12X+12) — a pure interleave copy.
+void hipac_gather_rows_s2d(const uint8_t* store, const int64_t* indices,
+                           int64_t batch, int64_t patch, uint8_t* out) {
+  const int64_t half = patch / 2;
+  const int64_t row_in = patch * 3;          // input row stride (bytes)
+  const int64_t row_out = half * 12;         // output row stride (bytes)
+  const int64_t patch_bytes = patch * row_in;
+#pragma omp parallel for collapse(2) schedule(static)
+  for (int64_t i = 0; i < batch; ++i) {
+    for (int64_t Y = 0; Y < half; ++Y) {
+      const uint8_t* src = store + indices[i] * patch_bytes + 2 * Y * row_in;
+      uint8_t* dst = out + (i * half + Y) * row_out;
+      for (int64_t X = 0; X < half; ++X) {
+        std::memcpy(dst + 12 * X, src + 6 * X, 6);
+        std::memcpy(dst + 12 * X + 6, src + row_in + 6 * X, 6);
+      }
+    }
+  }
+}
+
 int hipac_omp_max_threads() { return omp_get_max_threads(); }
 
 }  // extern "C"

@@ -120,6 +120,10 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.POINTER(c.c_uint8), c.POINTER(c.c_int64), c.c_int64, c.c_int64,
         c.POINTER(c.c_uint8),
     ]
+    lib.hipac_gather_rows_s2d.argtypes = [
+        c.POINTER(c.c_uint8), c.POINTER(c.c_int64), c.c_int64, c.c_int64,
+        c.POINTER(c.c_uint8),
+    ]
     lib.hipac_omp_max_threads.restype = ctypes.c_int
 
 
@@ -203,4 +207,33 @@ def gather_rows(store: np.ndarray, indices: np.ndarray) -> np.ndarray:
     out = np.empty((len(indices),) + store.shape[1:], np.uint8)
     lib.hipac_gather_rows(_u8ptr(store), _i64ptr(indices), len(indices), per,
                           _u8ptr(out))
+    return out
+
+
+def space_to_depth_u8(imgs: np.ndarray) -> np.ndarray:
+    """(B, H, W, 3) uint8 → (B, H/2, W/2, 12) stem space-to-depth layout
+    with slot order out[..., (r*2+rx)*3 + c] = in[2Y+r, 2X+rx, c]."""
+    b, h, w, _ = imgs.shape
+    s = imgs.reshape(b, h // 2, 2, w // 2, 2, 3).transpose(0, 1, 3, 2, 4, 5)
+    return np.ascontiguousarray(s.reshape(b, h // 2, w // 2, 12))
+
+
+def gather_rows_s2d(store: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Packed-store batch gather emitting the stem's space-to-depth layout
+    (B, P/2, P/2, 12) directly — same bytes moved as :func:`gather_rows`,
+    different addresses, so the int8 inference path skips its on-device
+    transpose (measured 44.5k → 46.6k patches/s/chip)."""
+    store = np.ascontiguousarray(store, np.uint8)
+    indices = np.ascontiguousarray(indices, np.int64)
+    patch = int(store.shape[1])
+    if patch % 2 or store.shape[2] != patch or store.shape[3] != 3:
+        raise ValueError(f"s2d gather needs (N, P, P, 3) with even P, "
+                         f"got {store.shape}")
+    lib = get_lib()
+    if lib is None:
+        return space_to_depth_u8(store[indices])
+    out = np.empty((len(indices), patch // 2, patch // 2, 12), np.uint8)
+    lib.hipac_gather_rows_s2d(
+        _u8ptr(store), _i64ptr(indices), len(indices), patch, _u8ptr(out)
+    )
     return out

@@ -478,7 +478,13 @@ def quant_forward(qp: dict, imgs_u8, with_fc: bool = True):
         # map restores the (128 - mean)/std offset with exact zero-pad
         # border semantics.
         t = (imgs_u8.astype(jnp.int16) - 128).astype(jnp.int8)
-        if qk["stem"].shape[0] == 4:  # space-to-depth reformulation
+        if imgs_u8.shape[-1] == 12:
+            # batch already in space-to-depth layout (host-side gather,
+            # io/native_lib.gather_rows_s2d): no on-device transpose.
+            if qk["stem"].shape[0] != 4:
+                raise ValueError("pre-s2d input needs an s2d stem kernel")
+            y32 = _convq(t, qk["stem"], 1, [(2, 1), (2, 1)])
+        elif qk["stem"].shape[0] == 4:  # space-to-depth reformulation
             b_, h_, w_, _ = t.shape
             s = t.reshape(b_, h_ // 2, 2, w_ // 2, 2, 3)
             s = s.transpose(0, 1, 3, 2, 4, 5).reshape(b_, h_ // 2, w_ // 2, 12)

@@ -272,3 +272,15 @@ def test_concurrent_single_and_batch_reads_stress(tiff_case):
         t.join()
     slide.close()
     assert not errors, errors[:3]
+
+
+def test_gather_rows_s2d_matches_numpy():
+    """Native s2d gather == reference numpy space-to-depth of the plain
+    gather (slot order (r*2+rx)*3+c — the int8 stem's expected layout)."""
+    rng = np.random.default_rng(3)
+    store = rng.integers(0, 256, (10, 8, 8, 3), np.uint8)
+    idx = np.array([3, 1, 7, 0], np.int64)
+    out = native_lib.gather_rows_s2d(store, idx)
+    ref = native_lib.space_to_depth_u8(store[idx])
+    assert out.shape == (4, 4, 4, 12)
+    np.testing.assert_array_equal(out, ref)

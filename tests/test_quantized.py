@@ -300,3 +300,43 @@ def test_folded_bf16_features_match_flax_extractor(setup):
         np.linalg.norm(got, axis=-1) * np.linalg.norm(ref, axis=-1)
     )
     assert cos.min() > 0.995, cos
+
+
+def test_int8_quantizes_fcless_trunk(setup):
+    """The SimCLR/feature-extraction trunk (no fc head — reference
+    ``src/main.py:897-932`` SimCLR variant) quantizes and runs: covers
+    ``--extract_features --int8`` on encoder checkpoints."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.models.resnet import (
+        strip_head,
+    )
+
+    _, variables, imgs = setup
+    trunk = strip_head(
+        {"params": dict(variables["params"]),
+         "batch_stats": dict(variables["batch_stats"])}
+    )
+    assert "fc" not in trunk["params"]
+    q = quantize_resnet18(trunk, [imgs])
+    feats = np.asarray(q.features(jnp.asarray(imgs)))
+    assert feats.shape == (imgs.shape[0], 512)
+    ref = np.asarray(
+        folded_forward(fold_batchnorm(trunk), jnp.asarray(imgs), with_fc=False)
+    )
+    cos = (feats * ref).sum(-1) / (
+        np.linalg.norm(feats, axis=-1) * np.linalg.norm(ref, axis=-1)
+    )
+    assert cos.min() > 0.98, cos
+
+
+def test_quant_forward_pre_s2d_input_exact(setup):
+    """Feeding the host-side space-to-depth batch gives bit-identical
+    results to the raw (B,H,W,3) input with the on-device transpose."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.native_lib import (
+        space_to_depth_u8,
+    )
+
+    _, variables, imgs = setup
+    q = quantize_resnet18(variables, [imgs], stem_s2d=True)
+    ref = np.asarray(q.forward(jnp.asarray(imgs)))
+    got = np.asarray(q.forward(jnp.asarray(space_to_depth_u8(imgs))))
+    np.testing.assert_array_equal(got, ref)
