@@ -170,6 +170,15 @@ if __name__ == "__main__":
 
     if "--int8" in sys.argv:
         result = run_bench_int8(stem_s2d=False if "--no-s2d" in sys.argv else None)
-    else:
+    elif "--float-only" in sys.argv:
         result = run_bench(folded="--unfolded" not in sys.argv)
+    else:
+        # default: the float headline metric (round-over-round comparable)
+        # plus the int8 deployment path (--int8 on --extract_features /
+        # --predict_slide; parity documented in docs/PERFORMANCE.md).
+        result = run_bench()
+        int8 = run_bench_int8()
+        result["int8_metric"] = int8["metric"]
+        result["int8_value"] = int8["value"]
+        result["int8_vs_baseline"] = int8["vs_baseline"]
     print(json.dumps(result))
