@@ -86,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--overlay", action="store_true",
                         help="With --predict_slide: save the tumor heatmap "
                              "overlay at the coarsest level")
+    parser.add_argument("--multiscale", action="store_true",
+                        help="With --predict_slide: classify every grid "
+                             "cell from all --levels magnifications at "
+                             "once via the hierarchical fusion classifier "
+                             "(requires a --train_multiscale artifact)")
     parser.add_argument("--stride", type=int, default=None,
                         help="Patch-grid stride in level pixels (default: "
                              "patch size, i.e. non-overlapping). Applies to "
@@ -418,15 +423,51 @@ def main(argv=None) -> int:
         )
 
         level = int(args.patch_level) if args.patch_level != "all" else 3
-        model_path = os.path.join(cfg.models_dir, "resnet18_patch_classifier")
-        variables = load_model(model_path)
         csv_dir = os.path.join(cfg.models_dir, "model_predictions_csv")
-        if os.path.isdir(args.predict_slide):
+
+        if args.multiscale:
+            from ss25_hierarchical_multiscale_image_classification_tpu.infer.multiscale import (
+                predict_and_export_multiscale,
+            )
+
+            ms_levels = tuple(int(v) for v in args.levels.split(","))
+            variables = load_model(
+                os.path.join(cfg.models_dir, "hierarchical_classifier")
+            )
+            targets = (
+                sorted(
+                    os.path.join(args.predict_slide, f)
+                    for f in os.listdir(args.predict_slide)
+                    if f.endswith((".tif", ".tiff", ".wsi.npz"))
+                )
+                if os.path.isdir(args.predict_slide)
+                else [args.predict_slide]
+            )
+            for path in targets:
+                prob_grid, _csv = predict_and_export_multiscale(
+                    path, variables, csv_dir, levels=ms_levels,
+                    **(
+                        {"batch_size": args.batch_size}
+                        if args.batch_size else {}
+                    ),
+                    **({"stride": args.stride} if args.stride else {}),
+                )
+                if args.overlay:
+                    out = os.path.join(
+                        cfg.models_dir, "overlays",
+                        os.path.basename(path) + ".overlay.png",
+                    )
+                    render_overlay(path, prob_grid, save_path=out)
+                    log.info("Overlay saved: %s", out)
+        elif os.path.isdir(args.predict_slide):
             # fleet mode: every slide in the directory, one per chip group
             from ss25_hierarchical_multiscale_image_classification_tpu.infer.fleet import (
                 predict_slide_fleet,
             )
 
+            variables = load_model(
+                os.path.join(cfg.models_dir, "resnet18_patch_classifier")
+            )
             paths = sorted(
                 os.path.join(args.predict_slide, f)
                 for f in os.listdir(args.predict_slide)
@@ -465,6 +506,9 @@ def main(argv=None) -> int:
                     render_overlay(path, prob_grid, save_path=out)
                     log.info("Overlay saved: %s", out)
         else:
+            variables = load_model(
+                os.path.join(cfg.models_dir, "resnet18_patch_classifier")
+            )
             predict_kw = {}
             if args.batch_size:
                 predict_kw["batch_size"] = args.batch_size

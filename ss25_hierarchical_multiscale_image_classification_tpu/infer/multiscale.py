@@ -1,0 +1,256 @@
+"""Hierarchical multiscale sliding-window slide inference.
+
+Slide prediction with the capability the reference is *named* for: every
+grid cell is classified from ALL its magnifications at once. The pyramid's
+per-level patch sizes (1792/896/448/224 at levels 0-3,
+``/root/reference/src/main.py:613-615``) cover the same level-0 field of
+view, so the co-located multiscale stack of a cell is well defined; the
+:class:`~..models.hierarchical.HierarchicalPatchClassifier` fuses the stack
+through one shared trunk (scales folded into the batch — a single MXU conv
+batch) and a fusion head.
+
+Same producer contract as :mod:`.sliding_window`: (ny, nx) probability
+grid → NMS detections → ``prob,x,y`` CSV for the official FROC consumer.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from ss25_hierarchical_multiscale_image_classification_tpu.config import (
+    TISSUE_MEAN_RGB_THRESHOLD,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.grid.pyramid import (
+    PatchGrid,
+    patch_size_for_level,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.io.slide import (
+    Slide,
+    open_slide,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.logging_utils import (
+    Timer,
+    get_logger,
+)
+from ss25_hierarchical_multiscale_image_classification_tpu.models.hierarchical import (
+    HierarchicalPatchClassifier,
+)
+
+log = get_logger("infer.multiscale")
+
+
+def make_prob_step_multiscale(model, levels, input_size: int = 224):
+    """Jitted step: dict {level: u8 (B, ps_l, ps_l, 3)} → tumor prob (B,).
+
+    Each level normalizes and resizes to ``input_size`` on device (the
+    trainer's :class:`~..data.multiscale.MultiscaleDataset` resizes on
+    host; at inference the device does it so the host stays on decode)."""
+    import jax.numpy as jnp
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.data.augment import (
+        normalize,
+    )
+
+    levels = tuple(sorted(levels))
+
+    @jax.jit
+    def prob_step(params, batch_stats, batch_by_level):
+        prepared = {}
+        for lvl in levels:
+            x = normalize(batch_by_level[lvl])
+            if x.shape[1] != input_size:
+                x = jax.image.resize(
+                    x, (x.shape[0], input_size, input_size, 3),
+                    method="bilinear",
+                )
+            prepared[lvl] = x
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats}, prepared,
+            train=False,
+        )
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
+
+    return prob_step
+
+
+def predict_slide_multiscale(
+    slide_or_path: Slide | str,
+    variables: dict,
+    levels=(2, 3),
+    stride: int | None = None,
+    batch_size: int = 128,
+    model=None,
+    tissue_threshold: float = TISSUE_MEAN_RGB_THRESHOLD,
+    input_size: int = 224,
+    fusion: str = "concat",
+) -> tuple[np.ndarray, PatchGrid]:
+    """Multiscale tumor probability per co-located grid cell.
+
+    The grid lives on the FINEST pyramid level requested (max level number
+    = smallest plane); each cell's patch at a coarser-magnification level
+    shares its level-0 origin and field of view. ``stride`` is in
+    base-level pixels. Returns (probs (ny, nx), base grid).
+    """
+    levels = tuple(sorted(levels))
+    base = max(levels)
+    slide = (
+        open_slide(slide_or_path)
+        if isinstance(slide_or_path, str) else slide_or_path
+    )
+    own = isinstance(slide_or_path, str)
+    try:
+        grid = PatchGrid.for_slide_level(
+            base,
+            slide.level_dimensions[base],
+            slide.level_downsamples[base],
+            stride=stride,
+        )
+        model = model or HierarchicalPatchClassifier(
+            levels=levels, fusion=fusion
+        )
+        step = make_prob_step_multiscale(model, levels, input_size)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+        ps = {lvl: patch_size_for_level(lvl) for lvl in levels}
+        ds = {lvl: slide.level_downsamples[lvl] for lvl in levels}
+        dims = {lvl: slide.level_dimensions[lvl] for lvl in levels}
+        # base-level px → level px (power-of-two pyramid ratios)
+        ratio = {lvl: ds[base] / ds[lvl] for lvl in levels}
+
+        def read_bands(iy: int) -> dict[int, np.ndarray]:
+            """Full-width co-located band per level for one grid row."""
+            y0_l0 = int(iy * grid.stride * ds[base])
+            out = {}
+            for lvl in levels:
+                w_l, h_l = dims[lvl]
+                y_l = int(round(y0_l0 / ds[lvl]))
+                h = min(ps[lvl], h_l - y_l)
+                band = slide.read_region((0, y0_l0), lvl, (w_l, max(h, 0)))
+                if h < ps[lvl]:
+                    full = np.full((ps[lvl], w_l, 3), 255, np.uint8)
+                    if h > 0:
+                        full[:h] = band
+                    band = full
+                out[lvl] = band
+            return out
+
+        import queue as _queue
+        import threading as _threading
+
+        ny, nx = grid.ny, grid.nx
+        n = grid.num_patches
+        probs = np.zeros((n,), np.float32)
+        band_q: _queue.Queue = _queue.Queue(maxsize=2)
+
+        def producer() -> None:
+            try:
+                for iy in range(ny):
+                    band_q.put((iy, read_bands(iy)))
+                band_q.put(None)
+            except BaseException as e:
+                band_q.put(e)
+
+        def fresh_batch():
+            return {
+                lvl: np.full(
+                    (batch_size, ps[lvl], ps[lvl], 3), 255, np.uint8
+                )
+                for lvl in levels
+            }
+
+        with Timer(f"predict_slide_multiscale[{n} cells]", log):
+            t = _threading.Thread(target=producer, daemon=True)
+            t.start()
+            batch = fresh_batch()
+            batch_pos: list[int] = []
+            pending: tuple | None = None
+
+            def dispatch(b, positions):
+                nonlocal pending
+                dev = step(
+                    params, batch_stats,
+                    {lvl: b[lvl] for lvl in levels},
+                )
+                if pending is not None:
+                    prev, prev_pos = pending
+                    probs[prev_pos] = np.asarray(prev)[: len(prev_pos)]
+                pending = (dev, np.asarray(positions))
+
+            while True:
+                item = band_q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                iy, bands = item
+                for ix in range(nx):
+                    cut = {}
+                    for lvl in levels:
+                        x_l = int(round(ix * grid.stride * ratio[lvl]))
+                        patch = bands[lvl][:, x_l : x_l + ps[lvl]]
+                        if patch.shape[1] < ps[lvl]:
+                            full = np.full(
+                                (ps[lvl], ps[lvl], 3), 255, np.uint8
+                            )
+                            full[:, : patch.shape[1]] = patch
+                            patch = full
+                        cut[lvl] = patch
+                    if cut[base].mean() > tissue_threshold:
+                        continue
+                    for lvl in levels:
+                        batch[lvl][len(batch_pos)] = cut[lvl]
+                    batch_pos.append(ix * ny + iy)  # reference x-major order
+                    if len(batch_pos) == batch_size:
+                        dispatch(batch, batch_pos)
+                        batch = fresh_batch()
+                        batch_pos = []
+            if batch_pos:
+                dispatch(batch, batch_pos)
+            if pending is not None:
+                dev, pos_arr = pending
+                probs[pos_arr] = np.asarray(dev)[: len(pos_arr)]
+            t.join()
+
+        out = np.zeros((ny, nx), np.float32)
+        for i in range(n):
+            ix, iy = divmod(i, ny)
+            out[iy, ix] = probs[i]
+        return out, grid
+    finally:
+        if own:
+            slide.close()
+
+
+def predict_and_export_multiscale(
+    slide_path: str,
+    variables: dict,
+    csv_dir: str,
+    levels=(2, 3),
+    threshold: float = 0.5,
+    **kw,
+) -> tuple[np.ndarray, str]:
+    """Multiscale producer: probability grid + detection CSV for one slide
+    (same CSV contract as the single-level producer)."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.data.extract import (
+        slide_name,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
+        nms_detections,
+        write_detection_csv,
+    )
+
+    name = slide_name(os.path.basename(slide_path))
+    prob_grid, grid = predict_slide_multiscale(
+        slide_path, variables, levels=levels, **kw
+    )
+    detections = nms_detections(prob_grid, grid, threshold=threshold)
+    csv_path = os.path.join(csv_dir, f"{name}.csv")
+    write_detection_csv(csv_path, detections)
+    log.info(
+        "%s: %d multiscale detections → %s", name, len(detections), csv_path
+    )
+    return prob_grid, csv_path
