@@ -140,6 +140,7 @@ def main() -> None:
     ap.add_argument("--root", default="/tmp/hipac_froc")
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--skip_multiscale", action="store_true")
     a = ap.parse_args()
 
     if os.path.exists(a.root) and not a.keep:
@@ -182,10 +183,42 @@ def main() -> None:
         run_froc_evaluation,
     )
 
-    result = run_froc_evaluation(
-        os.path.join(models, "model_predictions_csv"),
-        os.path.join(a.root, "test", "mask"),
-    )
+    def froc():
+        return run_froc_evaluation(
+            os.path.join(models, "model_predictions_csv"),
+            os.path.join(a.root, "test", "mask"),
+        )
+
+    result = froc()
+
+    ms = None
+    if not a.skip_multiscale:
+        # Phase 2 — the namesake model: co-located level-(2,3) extraction
+        # (stride 224 at level 2 aligns with stride 112 at level 3: both
+        # are 896 level-0 px), fusion training, multiscale fleet producer,
+        # FROC again on the SAME test set for a direct comparison.
+        cli(["--patch", "--patch_level", "2", "--stride", "224"],
+            a.root, models)
+        t_ms_train = cli(
+            ["--train_multiscale", "--levels", "2,3", "--epochs", "10",
+             "--batch_size", "32"], a.root, models,
+        )
+        print(f"[train_multiscale] {t_ms_train:.1f}s")
+        t_ms_eval = cli(
+            ["--predict_slide", os.path.join(a.root, "test", "img"),
+             "--multiscale", "--levels", "2,3", "--run_evaluation",
+             "--stride", "56", "--batch_size", "64"], a.root, models,
+        )
+        print(f"[multiscale predict+froc] {t_ms_eval:.1f}s")
+        r = froc()
+        ms = {
+            "froc_score": round(float(r["score"]), 4),
+            "sensitivity_max": round(float(np.max(r["sensitivity"])), 4)
+            if len(r["sensitivity"]) else None,
+            "seconds_train": round(t_ms_train, 1),
+            "seconds_predict_plus_froc_one_command": round(t_ms_eval, 1),
+        }
+
     n_csv = len(result["names"])
     report = {
         "metric": "froc_e2e_48_slide_test_set",
@@ -199,9 +232,12 @@ def main() -> None:
         "seconds_train": round(t_train, 1),
         "seconds_predict_plus_froc_one_command": round(t_eval, 1),
         "int8": a.int8,
+        "multiscale": ms,
         "note": "48 synthetic slides (22 macro tumor / 2 ITC / 24 normal), "
                 "6-level pyramids, official constants at eval level 5; "
-                "producer=fleet sliding window, consumer=official FROC",
+                "producer=fleet sliding window, consumer=official FROC; "
+                "'multiscale' = same test set through the hierarchical "
+                "fusion classifier (--predict_slide --multiscale)",
     }
     out = os.path.join(REPO, "docs", "proofs", "froc_e2e_report.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)

@@ -38,7 +38,7 @@ log = get_logger("data.multiscale")
 @dataclasses.dataclass(frozen=True)
 class MultiscaleSample:
     slide: str
-    cell: tuple[int, int]  # (i, j) grid cell shared by all levels
+    cell: tuple[int, int]  # (i, j) cell id: level-0 origin / footprint
     indices: dict[int, int]  # level → row in that level's manifest
     label: int  # tumor iff tumor at ANY level (finest annotation wins)
 
@@ -46,14 +46,20 @@ class MultiscaleSample:
 def join_levels(
     manifests: dict[int, PatchManifest],
 ) -> list[MultiscaleSample]:
-    """Inner-join manifests on (slide, grid cell). A cell is kept only when
-    every requested level stored a (tissue) patch there."""
+    """Inner-join manifests on (slide, level-0 patch origin). A cell is
+    kept only when every requested level stored a (tissue) patch there.
+
+    Joining on level-0 origins (level coords × 2^level for the standard
+    power-of-two pyramid) makes co-location exact even for overlapping
+    (``stride < patch``) extractions, where grid-cell ids would collide.
+    """
     levels = sorted(manifests)
+    footprint = patch_size_for_level(levels[0]) * (2 ** levels[0])
     maps: dict[int, dict[tuple[str, int, int], int]] = {}
     for lvl in levels:
-        ps = patch_size_for_level(lvl)
+        scale = 2 ** lvl
         maps[lvl] = {
-            (rec.slide, rec.x // ps, rec.y // ps): i
+            (rec.slide, rec.x * scale, rec.y * scale): i
             for i, rec in enumerate(manifests[lvl])
         }
     base = levels[0]
@@ -71,7 +77,8 @@ def join_levels(
             )
             out.append(
                 MultiscaleSample(
-                    slide=key[0], cell=(key[1], key[2]),
+                    slide=key[0],
+                    cell=(key[1] // footprint, key[2] // footprint),
                     indices=rows, label=label,
                 )
             )

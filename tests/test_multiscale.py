@@ -172,3 +172,32 @@ def test_predict_slide_multiscale(synthetic_case, tmp_path):
     with open(csv_path) as f:
         rows = [line for line in f if line.strip()]
     assert rows  # tissue cells produced detections at threshold 0
+
+
+def test_join_levels_strided_extraction():
+    """Overlapping extraction (stride < patch) still joins exactly: the
+    key is the level-0 origin, so half-stride cells at different levels
+    pair iff their fields of view coincide."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.data.manifest import (
+        PatchManifest,
+        PatchRecord,
+    )
+
+    def man(level, ps, stride, n):
+        m = PatchManifest()
+        for i in range(n):
+            m.append(PatchRecord(
+                slide="s", level=level, x=i * stride, y=0,
+                label=i % 2, store="png", path=f"p{level}_{i}.png",
+            ))
+        return m
+
+    # level 3: ps 224, stride 112 → origins 0, 896, 1792, ...
+    # level 2: ps 448, stride 224 → origins 0, 896, 1792, ...
+    m3 = man(3, 224, 112, 5)
+    m2 = man(2, 448, 224, 5)
+    samples = join_levels({2: m2, 3: m3})
+    assert len(samples) == 5
+    for s in samples:
+        r2, r3 = m2[s.indices[2]], m3[s.indices[3]]
+        assert r2.x * 4 == r3.x * 8  # identical level-0 origin
