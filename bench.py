@@ -170,7 +170,7 @@ if __name__ == "__main__":
 
     if "--int8" in sys.argv:
         result = run_bench_int8(stem_s2d=False if "--no-s2d" in sys.argv else None)
-    elif "--float-only" in sys.argv:
+    elif "--float-only" in sys.argv or "--unfolded" in sys.argv:
         result = run_bench(folded="--unfolded" not in sys.argv)
     else:
         # default: the float headline metric (round-over-round comparable)

@@ -430,6 +430,16 @@ def main(argv=None) -> int:
                 predict_and_export_multiscale,
             )
 
+            if args.int8:
+                log.warning(
+                    "--int8 is not supported with --multiscale yet; "
+                    "running the float fusion classifier"
+                )
+            if args.group_size:
+                log.warning(
+                    "--group_size is ignored with --multiscale; slides "
+                    "run sequentially"
+                )
             ms_levels = tuple(int(v) for v in args.levels.split(","))
             variables = load_model(
                 os.path.join(cfg.models_dir, "hierarchical_classifier")

@@ -25,9 +25,6 @@ from ss25_hierarchical_multiscale_image_classification_tpu.data.manifest import 
 from ss25_hierarchical_multiscale_image_classification_tpu.data.patch_store import (
     PatchReader,
 )
-from ss25_hierarchical_multiscale_image_classification_tpu.grid.pyramid import (
-    patch_size_for_level,
-)
 from ss25_hierarchical_multiscale_image_classification_tpu.logging_utils import (
     get_logger,
 )
@@ -38,7 +35,7 @@ log = get_logger("data.multiscale")
 @dataclasses.dataclass(frozen=True)
 class MultiscaleSample:
     slide: str
-    cell: tuple[int, int]  # (i, j) cell id: level-0 origin / footprint
+    cell: tuple[int, int]  # level-0 (x, y) patch origin — unique per sample
     indices: dict[int, int]  # level → row in that level's manifest
     label: int  # tumor iff tumor at ANY level (finest annotation wins)
 
@@ -54,7 +51,6 @@ def join_levels(
     (``stride < patch``) extractions, where grid-cell ids would collide.
     """
     levels = sorted(manifests)
-    footprint = patch_size_for_level(levels[0]) * (2 ** levels[0])
     maps: dict[int, dict[tuple[str, int, int], int]] = {}
     for lvl in levels:
         scale = 2 ** lvl
@@ -77,8 +73,7 @@ def join_levels(
             )
             out.append(
                 MultiscaleSample(
-                    slide=key[0],
-                    cell=(key[1] // footprint, key[2] // footprint),
+                    slide=key[0], cell=(key[1], key[2]),
                     indices=rows, label=label,
                 )
             )

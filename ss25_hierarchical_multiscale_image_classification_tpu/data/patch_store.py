@@ -149,6 +149,20 @@ class PatchReader:
         indices = [int(i) for i in indices]
         recs = [self.manifest[i] for i in indices]
         all_packed = bool(recs) and all(r.store == "packed" for r in recs)
+
+        def packed_gather(gather_fn):
+            imgs = [None] * len(recs)
+            by_path: dict[str, list[int]] = {}
+            for pos, r in enumerate(recs):
+                by_path.setdefault(r.path, []).append(pos)
+            for path, positions in by_path.items():
+                store = self._mmap(path)
+                rows = np.array([recs[p].row for p in positions], np.int64)
+                gathered = gather_fn(np.asarray(store), rows)
+                for j, p in enumerate(positions):
+                    imgs[p] = gathered[j]
+            return imgs
+
         if s2d and all_packed:
             # direct s2d gather when every record is already at target size
             sizes = {self._mmap(r.path).shape[1] for r in recs}
@@ -159,34 +173,13 @@ class PatchReader:
                     gather_rows_s2d,
                 )
 
-                out = [None] * len(recs)
-                by_path: dict[str, list[int]] = {}
-                for pos, r in enumerate(recs):
-                    by_path.setdefault(r.path, []).append(pos)
-                for path, positions in by_path.items():
-                    store = self._mmap(path)
-                    rows = np.array(
-                        [recs[p].row for p in positions], np.int64
-                    )
-                    gathered = gather_rows_s2d(np.asarray(store), rows)
-                    for j, p in enumerate(positions):
-                        out[p] = gathered[j]
-                return np.stack(out)
+                return np.stack(packed_gather(gather_rows_s2d))
         if all_packed:
             from ss25_hierarchical_multiscale_image_classification_tpu.io.native_lib import (
                 gather_rows,
             )
 
-            imgs = [None] * len(recs)
-            by_path = {}
-            for pos, r in enumerate(recs):
-                by_path.setdefault(r.path, []).append(pos)
-            for path, positions in by_path.items():
-                store = self._mmap(path)
-                rows = np.array([recs[p].row for p in positions], np.int64)
-                gathered = gather_rows(np.asarray(store), rows)
-                for j, p in enumerate(positions):
-                    imgs[p] = gathered[j]
+            imgs = packed_gather(gather_rows)
         else:
             imgs = [self.read(i) for i in indices]
         if resize_to is not None:

@@ -138,21 +138,13 @@ def predict_slide_multiscale(
                 out[lvl] = band
             return out
 
-        import queue as _queue
-        import threading as _threading
+        from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
+            BandProducer,
+        )
 
         ny, nx = grid.ny, grid.nx
         n = grid.num_patches
         probs = np.zeros((n,), np.float32)
-        band_q: _queue.Queue = _queue.Queue(maxsize=2)
-
-        def producer() -> None:
-            try:
-                for iy in range(ny):
-                    band_q.put((iy, read_bands(iy)))
-                band_q.put(None)
-            except BaseException as e:
-                band_q.put(e)
 
         def fresh_batch():
             return {
@@ -162,9 +154,9 @@ def predict_slide_multiscale(
                 for lvl in levels
             }
 
-        with Timer(f"predict_slide_multiscale[{n} cells]", log):
-            t = _threading.Thread(target=producer, daemon=True)
-            t.start()
+        producer = BandProducer(ny, read_bands)
+        try:
+          with Timer(f"predict_slide_multiscale[{n} cells]", log):
             batch = fresh_batch()
             batch_pos: list[int] = []
             pending: tuple | None = None
@@ -181,11 +173,9 @@ def predict_slide_multiscale(
                 pending = (dev, np.asarray(positions))
 
             while True:
-                item = band_q.get()
+                item = producer.get()
                 if item is None:
                     break
-                if isinstance(item, BaseException):
-                    raise item
                 iy, bands = item
                 for ix in range(nx):
                     cut = {}
@@ -213,7 +203,9 @@ def predict_slide_multiscale(
             if pending is not None:
                 dev, pos_arr = pending
                 probs[pos_arr] = np.asarray(dev)[: len(pos_arr)]
-            t.join()
+        finally:
+            # stop/join BEFORE the outer finally closes the slide handle
+            producer.stop()
 
         out = np.zeros((ny, nx), np.float32)
         for i in range(n):

@@ -45,6 +45,71 @@ from ss25_hierarchical_multiscale_image_classification_tpu.models.resnet import 
 log = get_logger("infer.sliding_window")
 
 
+class BandProducer:
+    """Band-prefetch thread with a bounded queue and SAFE shutdown.
+
+    The consumer may exit early (exception in the jitted step, bad
+    checkpoint, ...) while the producer is blocked on ``put`` or mid
+    ``read_region``; closing the slide then would free the native TIFF
+    handle under the reader. ``stop()`` unblocks the producer, waits for
+    it to finish, and only then should the caller close the slide.
+
+    Items arrive via :meth:`get`: ``(index, bands)`` tuples, ``None`` at
+    end of stream; producer exceptions re-raise in the consumer.
+    """
+
+    def __init__(self, n_items: int, read_fn, maxsize: int = 2):
+        import queue as _queue
+        import threading as _threading
+
+        self._queue_mod = _queue
+        self._q: "_queue.Queue" = _queue.Queue(maxsize=maxsize)
+        self._stop = _threading.Event()
+        self._n = n_items
+        self._read = read_fn
+        self._thread = _threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _put(self, item) -> bool:
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except self._queue_mod.Full:
+                continue
+        return False
+
+    def _run(self) -> None:
+        try:
+            for i in range(self._n):
+                if self._stop.is_set():
+                    return
+                if not self._put((i, self._read(i))):
+                    return
+            self._put(None)
+        except BaseException as e:  # propagate to the consumer
+            self._put(e)
+
+    def get(self):
+        item = self._q.get()
+        if isinstance(item, BaseException):
+            raise item
+        return item
+
+    def stop(self) -> None:
+        """Idempotent: unblock and join the producer (call before closing
+        the slide handle, on every exit path)."""
+        self._stop.set()
+        while True:
+            try:
+                self._q.get_nowait()
+            except self._queue_mod.Empty:
+                break
+        # unbounded: a band decode in flight must finish before the caller
+        # frees the slide handle (gigapixel level-0 bands take ~45 s)
+        self._thread.join()
+
+
 def make_prob_step(model, input_size: int = 224):
     from ss25_hierarchical_multiscale_image_classification_tpu.data.augment import (
         preprocess_batch,
@@ -219,24 +284,10 @@ def predict_slide(
                 band = full
             return band
 
-        import queue as _queue
-        import threading as _threading
-
         ny, nx_cells = grid.ny, grid.nx
-        band_q: _queue.Queue = _queue.Queue(maxsize=2)
-
-        def band_producer() -> None:
-            try:
-                for iy in range(ny):
-                    band_q.put((iy, read_band(iy)))
-                band_q.put(None)
-            except BaseException as e:  # propagate to the consumer
-                band_q.put(e)
-
-        with Timer(f"predict_slide[{n} cells]", log):
-            producer = _threading.Thread(target=band_producer, daemon=True)
-            producer.start()
-
+        producer = BandProducer(ny, read_band)
+        try:
+          with Timer(f"predict_slide[{n} cells]", log):
             batch_imgs = np.full((batch_size, ps, ps, 3), 255, np.uint8)
             batch_pos: list[int] = []
             pending: tuple | None = None  # (device_probs, positions)
@@ -253,11 +304,9 @@ def predict_slide(
                 pending = (dev, np.asarray(positions))
 
             while True:
-                item = band_q.get()
+                item = producer.get()
                 if item is None:
                     break
-                if isinstance(item, BaseException):
-                    raise item
                 iy, band = item
                 # per-cell tissue filter on the band (vectorized means)
                 for ix in range(nx_cells):
@@ -286,7 +335,9 @@ def predict_slide(
             if pending is not None:
                 dev, pos_arr = pending
                 probs[pos_arr] = np.asarray(dev)[: len(pos_arr)]
-            producer.join()
+        finally:
+            # stop/join BEFORE the outer finally closes the slide handle
+            producer.stop()
 
         # scatter into the (ny, nx) grid
         stride_px = grid.stride

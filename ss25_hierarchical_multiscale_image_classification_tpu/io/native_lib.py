@@ -58,11 +58,30 @@ def get_lib() -> ctypes.CDLL | None:
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
+            _configure(lib)
         except OSError as e:
             log.warning("cannot load native lib: %s", e)
             _build_failed = True
             return None
-        _configure(lib)
+        except AttributeError:
+            # stale .so from an older source revision (the lazy build only
+            # triggers when the file is MISSING): rebuild once, else fall
+            # back to pure Python rather than crashing every native caller
+            log.warning("native lib is stale (missing symbol); rebuilding")
+            try:
+                os.remove(_LIB_PATH)
+            except OSError:
+                pass
+            if not _build():
+                _build_failed = True
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+                _configure(lib)
+            except (OSError, AttributeError) as e:
+                log.warning("cannot load rebuilt native lib: %s", e)
+                _build_failed = True
+                return None
         _lib = lib
         return _lib
 

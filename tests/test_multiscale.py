@@ -35,9 +35,9 @@ def test_join_levels_aligns_cells(two_level_patches):
         rec2 = two_level_patches[2][s.indices[2]]
         rec3 = two_level_patches[3][s.indices[3]]
         assert rec2.slide == rec3.slide == s.slide
-        # same grid cell → same level-0 field of view
-        assert rec2.x // 448 == rec3.x // 224 == s.cell[0]
-        assert rec2.y // 448 == rec3.y // 224 == s.cell[1]
+        # same level-0 origin → same field of view
+        assert rec2.x * 4 == rec3.x * 8 == s.cell[0]
+        assert rec2.y * 4 == rec3.y * 8 == s.cell[1]
         # label = tumor iff any level says tumor
         assert s.label == max(rec2.label, rec3.label)
 
