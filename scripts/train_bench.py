@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Training-step throughput on the real chip (device-resident batches).
+
+Measures the two training hot loops — the weighted-CE classifier step
+(reference ``src/main.py:496-511``) and the SimCLR NT-Xent step
+(``src/models/simclr.py:85-98``) — as steady-state steps/s and
+patches/s on one chip, with the same device-staged methodology as
+``bench.py`` (the tunnel would otherwise dominate; see
+docs/PERFORMANCE.md §Measurement methodology).
+
+Usage: python scripts/train_bench.py [--batch 512] [--iters 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench_classifier(batch: int, iters: int, warmup: int = 3) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.data.augment import (
+        preprocess_batch,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.models.resnet import (
+        ResNet18Classifier,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.train.losses import (
+        weighted_cross_entropy,
+    )
+
+    model = ResNet18Classifier()
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32),
+        train=False,
+    )
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(params)
+    weights = jnp.asarray([1.0, 6.0], jnp.float32)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, rng, imgs_u8, labels, valid):
+        def loss_fn(p):
+            logits, upd = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                preprocess_batch(rng, imgs_u8, training=True),
+                train=True, mutable=["batch_stats"],
+            )
+            return weighted_cross_entropy(logits, labels, weights, valid), upd
+
+        (loss, upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (
+            optax.apply_updates(params, updates), upd["batch_stats"],
+            opt_state, loss,
+        )
+
+    rng = np.random.default_rng(0)
+    imgs = [
+        jax.device_put(
+            rng.integers(0, 256, (batch, 224, 224, 3), np.uint8)
+        )
+        for _ in range(2)
+    ]
+    labels = jax.device_put((np.arange(batch) % 2).astype(np.int32))
+    valid = jax.device_put(np.ones((batch,), np.float32))
+    key = jax.random.key(1)
+
+    for i in range(warmup):
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, key, imgs[i % 2], labels, valid
+        )
+    float(loss)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, key, imgs[i % 2], labels, valid
+        )
+    float(loss)
+    dt = time.perf_counter() - t0
+    return {
+        "step_ms": round(dt / iters * 1000, 2),
+        "patches_per_sec": round(batch * iters / dt, 1),
+    }
+
+
+def bench_simclr(batch: int, iters: int, warmup: int = 3) -> dict:
+    """Full SimCLR step: two on-device augmented views + NT-Xent fwd/bwd."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.data.augment import (
+        simclr_two_views,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.models.simclr import (
+        SimCLRModel,
+        nt_xent_loss,
+    )
+
+    model = SimCLRModel()
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32),
+        train=False,
+    )
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, rng, imgs_u8):
+        va, vb = simclr_two_views(rng, imgs_u8)
+
+        def loss_fn(p):
+            za, upd = model.apply(
+                {"params": p, "batch_stats": batch_stats}, va,
+                train=True, mutable=["batch_stats"],
+            )
+            zb, upd = model.apply(
+                {"params": p, "batch_stats": upd["batch_stats"]}, vb,
+                train=True, mutable=["batch_stats"],
+            )
+            return nt_xent_loss(za, zb), upd
+
+        (loss, upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (
+            optax.apply_updates(params, updates), upd["batch_stats"],
+            opt_state, loss,
+        )
+
+    rng = np.random.default_rng(0)
+    imgs = [
+        jax.device_put(
+            rng.integers(0, 256, (batch, 224, 224, 3), np.uint8)
+        )
+        for _ in range(2)
+    ]
+    for i in range(warmup):
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, jax.random.key(i), imgs[i % 2]
+        )
+    float(loss)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, jax.random.key(i), imgs[i % 2]
+        )
+    float(loss)
+    dt = time.perf_counter() - t0
+    return {
+        "step_ms": round(dt / iters * 1000, 2),
+        "patches_per_sec": round(batch * iters / dt, 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=20)
+    a = ap.parse_args()
+    out = {
+        "classifier_train": bench_classifier(a.batch, a.iters),
+        "simclr_train": bench_simclr(a.batch, a.iters),
+        "batch": a.batch,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
