@@ -48,11 +48,26 @@ def fabricate_store(patches_dir: str, n: int, level: int = 3,
             # tissue-like patches (mean < 240) with cheap tiled noise
             base = rng.integers(120, 220, (m, 1, 1, 3), np.uint8)
             noise = rng.integers(0, 30, (m, patch, patch, 3), np.uint8)
-            imgs = np.clip(base.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+            # reference-like composition (src/main.py:49-50: ~11:1
+            # normal:tumor): tumor patches only on the first half of the
+            # slides, so MIL gets both positive and negative bags
+            labels = (
+                (rng.random(m) < 0.18).astype(np.int32)
+                if s < n_slides // 2 else np.zeros(m, np.int32)
+            )
+            # class-correlated appearance (the synthetic slides' pink
+            # tissue vs darker-purple tumor) so downstream feature
+            # evaluation (--validate logreg/PCA) has real signal to find
+            tumor_base = np.array([150, 90, 160], np.int16).reshape(1, 1, 1, 3)
+            base = np.where(
+                labels.reshape(-1, 1, 1, 1) == 1,
+                tumor_base + rng.integers(-15, 16, (m, 1, 1, 3), np.int16),
+                base.astype(np.int16),
+            )
+            imgs = np.clip(base + noise, 0, 255).astype(np.uint8)
             coords = np.stack(
                 [np.arange(start, start + m, dtype=np.int64) * patch,
                  np.full(m, s * patch, np.int64)], axis=1)
-            labels = rng.integers(0, 2, m).astype(np.int32)
             manifest.extend(writer.write_batch(imgs, coords, labels))
         writer.close()
         made += count

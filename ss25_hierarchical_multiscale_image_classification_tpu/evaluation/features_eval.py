@@ -33,8 +33,14 @@ def validate_features(
     run_tsne: bool = True,
     tsne_perplexity: float = 30.0,
     seed: int = 42,
+    tsne_max_samples: int = 10_000,
 ) -> dict:
-    """Sanity-check extracted patch features (``src/main.py:1017-1070``)."""
+    """Sanity-check extracted patch features (``src/main.py:1017-1070``).
+
+    t-SNE is O(N²)-ish on one host core; above ``tsne_max_samples`` it
+    runs on a seeded random subsample (the class-mean summary it feeds is
+    statistically stable under subsampling) — full-dataset PCA and logreg
+    are unaffected."""
     from sklearn.decomposition import PCA
     from sklearn.linear_model import LogisticRegression
     from sklearn.model_selection import train_test_split
@@ -61,15 +67,26 @@ def validate_features(
     if run_tsne and len(features) >= 5:
         from sklearn.manifold import TSNE
 
+        t_feats, t_labels = features, labels
+        if len(features) > tsne_max_samples:
+            sel = np.random.default_rng(seed).choice(
+                len(features), tsne_max_samples, replace=False
+            )
+            t_feats, t_labels = features[sel], labels[sel]
+            log.info(
+                "t-SNE on a %d-sample subsample of %d",
+                tsne_max_samples, len(features),
+            )
         # sklearn requires perplexity < n_samples
-        perplexity = min(tsne_perplexity, (len(features) - 1) / 3.0)
+        perplexity = min(tsne_perplexity, (len(t_feats) - 1) / 3.0)
         tsne_coords = TSNE(
             n_components=2, perplexity=perplexity, random_state=seed
-        ).fit_transform(features)
+        ).fit_transform(t_feats)
         result["tsne_class_means"] = {
-            int(c): tsne_coords[labels == c].mean(axis=0).tolist() for c in classes
+            int(c): tsne_coords[t_labels == c].mean(axis=0).tolist() for c in classes
         }
         result["tsne_coords"] = tsne_coords
+        result["tsne_labels"] = t_labels  # rows of tsne_coords (may be a subsample)
 
     min_class = min(int((labels == c).sum()) for c in classes)
     if len(classes) > 1 and min_class >= 2:
