@@ -172,7 +172,9 @@ class MILConfig:
     pooling: str = "attention"  # attention | mean | max (mil_classifier.py:24-31)
     #: static bag-size bucket for XLA (bags padded with mask to this size)
     max_bag_size: int = 4096
-    learning_rate: float = 1e-4
+    #: reference Config.LEARNING_RATE (config.py:29); measured: 1e-4 is
+    #: visibly undertrained on few-bag datasets (steps/epoch = bags/8)
+    learning_rate: float = 1e-3
     epochs: int = 20
 
 
