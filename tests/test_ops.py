@@ -246,3 +246,67 @@ def test_bias_relu_pool_parity():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3
     )
+
+
+def test_fused_stage1_matches_quant_forward():
+    """The fused Pallas stage-1 (both residual blocks in one kernel)
+    is bit-identical to the XLA int8 stage-1 of models/quantized.py."""
+    import numpy as np
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.models.quantized import (
+        _convq,
+        _requant,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.ops.pallas.int8_block import (
+        fused_stage1_int8,
+    )
+
+    rng = np.random.default_rng(0)
+    b = 3
+    xq = rng.integers(-127, 128, (b, 56, 56, 64)).astype(np.int8)
+    kernels = rng.integers(-127, 128, (4, 3, 3, 64, 64)).astype(np.int8)
+    wscales = rng.uniform(1e-3, 2e-3, (4, 64)).astype(np.float32)
+    biases = rng.normal(0, 0.1, (4, 64)).astype(np.float32)
+    s_x, s_y1_0, s_o_0, s_y1_1, s_o_1 = rng.uniform(0.01, 0.05, 5).astype(
+        np.float32
+    )
+
+    # XLA reference: the quant_forward stage-1 loop semantics
+    x = jnp.asarray(xq)
+    scales_in = [s_x, s_y1_0, s_o_0, s_y1_1]
+    souts = [s_y1_0, s_o_0, s_y1_1, s_o_1]
+    s_cur = s_x
+    for blk in range(2):
+        c1, c2 = 2 * blk, 2 * blk + 1
+        y32 = _convq(x, jnp.asarray(kernels[c1]), 1, [(1, 1), (1, 1)])
+        y1 = _requant(
+            y32, scales_in[c1] * wscales[c1], biases[c1], souts[c1]
+        )
+        y32 = _convq(y1, jnp.asarray(kernels[c2]), 1, [(1, 1), (1, 1)])
+        res = x.astype(jnp.float32) * s_cur
+        x = _requant(
+            y32, scales_in[c2] * wscales[c2], biases[c2], souts[c2],
+            residual_f32=res,
+        )
+        s_cur = souts[c2]
+    ref = np.asarray(x)
+
+    mscales = np.stack([
+        s_x * wscales[0], s_y1_0 * wscales[1],
+        s_o_0 * wscales[2], s_y1_1 * wscales[3],
+    ])
+    scalars = np.asarray([s_x, s_y1_0, s_o_0, s_y1_1, s_o_1], np.float32)
+    got = np.asarray(
+        fused_stage1_int8(
+            jnp.asarray(xq), jnp.asarray(kernels), jnp.asarray(mscales),
+            jnp.asarray(biases), jnp.asarray(scalars), interpret=True,
+        )
+    )
+    # integer accumulation is exact; the f32 epilogue can round a hair
+    # differently across engines (FMA vs two-rounding) at quantization
+    # boundaries, cascading |diff| <= 2 through the second block
+    diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
+    assert diff.max() <= 2, diff.max()
+    assert (diff > 0).mean() < 5e-3, (diff > 0).mean()
