@@ -467,7 +467,10 @@ def main(argv=None) -> int:
                         cfg.models_dir, "overlays",
                         os.path.basename(path) + ".overlay.png",
                     )
-                    render_overlay(path, prob_grid, save_path=out)
+                    render_overlay(
+                        path, prob_grid, save_path=out,
+                        predict_level=max(ms_levels), stride=args.stride,
+                    )
                     log.info("Overlay saved: %s", out)
         elif os.path.isdir(args.predict_slide):
             # fleet mode: every slide in the directory, one per chip group
@@ -513,7 +516,10 @@ def main(argv=None) -> int:
                         cfg.models_dir, "overlays",
                         os.path.basename(path) + ".overlay.png",
                     )
-                    render_overlay(path, prob_grid, save_path=out)
+                    render_overlay(
+                        path, prob_grid, save_path=out,
+                        predict_level=level, stride=args.stride,
+                    )
                     log.info("Overlay saved: %s", out)
         else:
             variables = load_model(
@@ -534,7 +540,10 @@ def main(argv=None) -> int:
                     "overlays",
                     os.path.basename(args.predict_slide) + ".overlay.png",
                 )
-                render_overlay(args.predict_slide, prob_grid, save_path=out)
+                render_overlay(
+                    args.predict_slide, prob_grid, save_path=out,
+                    predict_level=level, stride=args.stride,
+                )
                 log.info("Overlay saved: %s", out)
 
     if args.wsi_viz:

@@ -185,3 +185,42 @@ def test_predict_slide_grid_orientation(small_classifier):
     )
     assert probs.shape == (2, 1)
     assert probs[0, 0] == 0.0 and probs[1, 0] > 0.0
+
+
+def test_render_overlay_strided_alignment(synthetic_case, tmp_path):
+    """With an overlapping grid (stride < patch) the heat must align to
+    WINDOW CENTERS, not top-left grid corners: a single hot cell whose
+    window covers a known region puts the peak at that window's center."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.grid.pyramid import (
+        patch_size_for_level,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.slide import (
+        open_slide,
+    )
+
+    slide_path = os.path.join(
+        synthetic_case, "train", "img", "tumor_001.wsi.npz"
+    )
+    level, stride = 3, 28
+    ps = patch_size_for_level(level)
+    slide = open_slide(slide_path)
+    w, h = slide.level_dimensions[level]
+    slide.close()
+    ny, nx = -(-h // stride), -(-w // stride)
+    probs = np.zeros((ny, nx), np.float32)
+    iy, ix = 1, 2
+    probs[iy, ix] = 1.0
+
+    out = render_overlay(
+        slide_path, probs, display_level=level,
+        predict_level=level, stride=stride,
+    )
+    # red channel dominance marks the hot area; its centroid should sit
+    # at the window center (ix*stride + ps/2, iy*stride + ps/2)
+    heatness = out[:, :, 0].astype(np.int32) - out[:, :, 2].astype(np.int32)
+    ys, xs = np.nonzero(heatness > heatness.max() * 0.8)
+    cx, cy = xs.mean(), ys.mean()
+    ex, ey = ix * stride + ps / 2, iy * stride + ps / 2
+    # generous tolerance: bilinear smoothing + clipping at image borders
+    assert abs(cx - min(ex, w - 1)) < ps / 3, (cx, ex)
+    assert abs(cy - min(ey, h - 1)) < ps / 3, (cy, ey)
