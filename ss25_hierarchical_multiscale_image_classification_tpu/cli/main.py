@@ -430,11 +430,6 @@ def main(argv=None) -> int:
                 predict_and_export_multiscale,
             )
 
-            if args.int8:
-                log.warning(
-                    "--int8 is not supported with --multiscale yet; "
-                    "running the float fusion classifier"
-                )
             if args.group_size:
                 log.warning(
                     "--group_size is ignored with --multiscale; slides "
@@ -456,6 +451,7 @@ def main(argv=None) -> int:
             for path in targets:
                 prob_grid, _csv = predict_and_export_multiscale(
                     path, variables, csv_dir, levels=ms_levels,
+                    int8=args.int8,
                     **(
                         {"batch_size": args.batch_size}
                         if args.batch_size else {}

@@ -42,6 +42,48 @@ from ss25_hierarchical_multiscale_image_classification_tpu.models.hierarchical i
 log = get_logger("infer.multiscale")
 
 
+def make_prob_step_multiscale_int8(model, levels, input_size: int = 224):
+    """int8 variant: the SHARED trunk runs quantized (w8a8, one stacked
+    MXU batch over all scales — ``models/quantized.py``); the scale
+    embedding + fusion head stay float via
+    :meth:`~..models.hierarchical.HierarchicalPatchClassifier.fuse`."""
+    import jax.numpy as jnp
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.models.hierarchical import (
+        HierarchicalPatchClassifier,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.models.quantized import (
+        quant_forward,
+    )
+
+    levels = tuple(sorted(levels))
+
+    @jax.jit
+    def prob_step(variables, qtree, batch_by_level):
+        parts = []
+        for lvl in levels:
+            x = batch_by_level[lvl]
+            if x.shape[1] != input_size:
+                f = jax.image.resize(
+                    x.astype(jnp.float32),
+                    (x.shape[0], input_size, input_size, 3),
+                    method="bilinear",
+                )
+                x = jnp.clip(jnp.round(f), 0, 255).astype(jnp.uint8)
+            parts.append(x)
+        stacked = jnp.concatenate(parts, axis=0)
+        feats = quant_forward(qtree, stacked, with_fc=False)  # (S*B, 512)
+        b = parts[0].shape[0]
+        feats = feats.reshape(len(levels), b, 512).transpose(1, 0, 2)
+        logits = model.apply(
+            variables, feats.astype(jnp.float32),
+            method=HierarchicalPatchClassifier.fuse,
+        )
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
+
+    return prob_step
+
+
 def make_prob_step_multiscale(model, levels, input_size: int = 224):
     """Jitted step: dict {level: u8 (B, ps_l, ps_l, 3)} → tumor prob (B,).
 
@@ -86,13 +128,16 @@ def predict_slide_multiscale(
     tissue_threshold: float = TISSUE_MEAN_RGB_THRESHOLD,
     input_size: int = 224,
     fusion: str = "concat",
+    int8: bool = False,
 ) -> tuple[np.ndarray, PatchGrid]:
     """Multiscale tumor probability per co-located grid cell.
 
     The grid lives on the FINEST pyramid level requested (max level number
     = smallest plane); each cell's patch at a coarser-magnification level
     shares its level-0 origin and field of view. ``stride`` is in
-    base-level pixels. Returns (probs (ny, nx), base grid).
+    base-level pixels. ``int8=True`` quantizes the shared trunk (w8a8,
+    calibrated on this slide's first tissue batch) and keeps the fusion
+    head float. Returns (probs (ny, nx), base grid).
     """
     levels = tuple(sorted(levels))
     base = max(levels)
@@ -111,9 +156,13 @@ def predict_slide_multiscale(
         model = model or HierarchicalPatchClassifier(
             levels=levels, fusion=fusion
         )
-        step = make_prob_step_multiscale(model, levels, input_size)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        if int8:
+            qstep = make_prob_step_multiscale_int8(model, levels, input_size)
+            qstate: dict = {}
+        else:
+            step = make_prob_step_multiscale(model, levels, input_size)
 
         ps = {lvl: patch_size_for_level(lvl) for lvl in levels}
         ds = {lvl: slide.level_downsamples[lvl] for lvl in levels}
@@ -163,10 +212,42 @@ def predict_slide_multiscale(
 
             def dispatch(b, positions):
                 nonlocal pending
-                dev = step(
-                    params, batch_stats,
-                    {lvl: b[lvl] for lvl in levels},
-                )
+                batch_by_level = {lvl: b[lvl] for lvl in levels}
+                if int8:
+                    if "tree" not in qstate:
+                        # calibrate the trunk on this slide's first tissue
+                        # batch, resized the same way the step resizes
+                        import jax.numpy as jnp
+
+                        from ss25_hierarchical_multiscale_image_classification_tpu.models.quantized import (
+                            quantize_resnet18,
+                        )
+
+                        cal = []
+                        for lvl in levels:
+                            x = batch_by_level[lvl]
+                            if x.shape[1] != input_size:
+                                f = jax.image.resize(
+                                    jnp.asarray(x, jnp.float32),
+                                    (x.shape[0], input_size, input_size, 3),
+                                    method="bilinear",
+                                )
+                                x = np.asarray(
+                                    jnp.clip(jnp.round(f), 0, 255).astype(
+                                        jnp.uint8
+                                    )
+                                )
+                            cal.append(np.asarray(x))
+                        trunk_vars = {
+                            "params": params["trunk"],
+                            "batch_stats": batch_stats.get("trunk", {}),
+                        }
+                        qstate["tree"] = quantize_resnet18(
+                            trunk_vars, [np.concatenate(cal, axis=0)]
+                        ).tree()
+                    dev = qstep(variables, qstate["tree"], batch_by_level)
+                else:
+                    dev = step(params, batch_stats, batch_by_level)
                 if pending is not None:
                     prev, prev_pos = pending
                     probs[prev_pos] = np.asarray(prev)[: len(prev_pos)]

@@ -73,6 +73,17 @@ class HierarchicalPatchClassifier(nn.Module):
         )
         feats = self.trunk(stacked, train=train)  # (S*B, 512)
         feats = feats.reshape(s, b, 512).transpose(1, 0, 2)  # (B, S, 512)
+        return self.fuse(feats)
+
+    def fuse(self, feats):
+        """(B, S, 512) pooled per-scale features → (B, num_classes) logits.
+
+        Everything after the shared trunk; exposed so the int8 inference
+        path can run the trunk quantized (``models/quantized.py``) and
+        apply the scale-embedding + fusion head here in float
+        (``model.apply(vars, feats, method=HierarchicalPatchClassifier.fuse)``).
+        """
+        b, s = feats.shape[0], feats.shape[1]
         feats = feats + self.scale_embed[None, :, :].astype(feats.dtype)
 
         if self.fusion == "attention":

@@ -201,3 +201,38 @@ def test_join_levels_strided_extraction():
     for s in samples:
         r2, r3 = m2[s.indices[2]], m3[s.indices[3]]
         assert r2.x * 4 == r3.x * 8  # identical level-0 origin
+
+
+def test_predict_slide_multiscale_int8(synthetic_case):
+    """--multiscale --int8: quantized shared trunk + float fusion head
+    tracks the float multiscale probabilities."""
+    import os
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.multiscale import (
+        predict_slide_multiscale,
+    )
+
+    model = HierarchicalPatchClassifier(levels=(2, 3), dtype=jnp.float32)
+    s = 64
+    init = {lvl: jnp.zeros((1, s, s, 3), jnp.float32) for lvl in (2, 3)}
+    variables = model.init(jax.random.key(0), init, train=False)
+
+    slide_path = os.path.join(
+        synthetic_case, "train", "img", "tumor_001.wsi.npz"
+    )
+    kw = dict(levels=(2, 3), stride=112, batch_size=4, model=model,
+              input_size=s)
+    probs_f, grid = predict_slide_multiscale(
+        slide_path, dict(variables), **kw
+    )
+    probs_q, _ = predict_slide_multiscale(
+        slide_path, dict(variables), int8=True, **kw
+    )
+    assert probs_q.shape == probs_f.shape
+    assert np.isfinite(probs_q).all()
+    assert (probs_q >= 0).all() and (probs_q <= 1).all()
+    # quantization keeps the probability field close to float
+    tissue = probs_f > 0
+    assert np.abs(probs_q[tissue] - probs_f[tissue]).max() < 0.15, (
+        probs_q, probs_f,
+    )
