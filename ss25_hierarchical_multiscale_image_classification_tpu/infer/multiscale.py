@@ -129,6 +129,7 @@ def predict_slide_multiscale(
     input_size: int = 224,
     fusion: str = "concat",
     int8: bool = False,
+    mesh=None,
 ) -> tuple[np.ndarray, PatchGrid]:
     """Multiscale tumor probability per co-located grid cell.
 
@@ -137,7 +138,10 @@ def predict_slide_multiscale(
     shares its level-0 origin and field of view. ``stride`` is in
     base-level pixels. ``int8=True`` quantizes the shared trunk (w8a8,
     calibrated on this slide's first tissue batch) and keeps the fusion
-    head float. Returns (probs (ny, nx), base grid).
+    head float. With a ``mesh`` the per-level batches are sharded over
+    the data axis — the slide's multiscale grid runs spatially
+    data-parallel over ICI, like the single-level producer.
+    Returns (probs (ny, nx), base grid).
     """
     levels = tuple(sorted(levels))
     base = max(levels)
@@ -158,6 +162,32 @@ def predict_slide_multiscale(
         )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        if mesh is not None:
+            from ss25_hierarchical_multiscale_image_classification_tpu.parallel.mesh import (
+                batch_sharding,
+                replicate,
+            )
+
+            n_dev = int(mesh.devices.size)
+            if batch_size % n_dev:
+                batch_size = -(-batch_size // n_dev) * n_dev
+                log.info(
+                    "batch_size rounded up to %d (multiple of the "
+                    "%d-device mesh)", batch_size, n_dev,
+                )
+            params = replicate(mesh, params)
+            batch_stats = replicate(mesh, batch_stats)
+            variables = {"params": params, "batch_stats": batch_stats}
+            _in_sharding = batch_sharding(mesh)
+
+            def _put(tree):
+                return {
+                    lvl: jax.device_put(x, _in_sharding)
+                    for lvl, x in tree.items()
+                }
+        else:
+            def _put(tree):
+                return tree
         if int8:
             qstep = make_prob_step_multiscale_int8(model, levels, input_size)
             qstate: dict = {}
@@ -239,15 +269,24 @@ def predict_slide_multiscale(
                                 )
                             cal.append(np.asarray(x))
                         trunk_vars = {
-                            "params": params["trunk"],
-                            "batch_stats": batch_stats.get("trunk", {}),
+                            "params": jax.device_get(params["trunk"]),
+                            "batch_stats": jax.device_get(
+                                batch_stats.get("trunk", {})
+                            ),
                         }
-                        qstate["tree"] = quantize_resnet18(
+                        tree = quantize_resnet18(
                             trunk_vars, [np.concatenate(cal, axis=0)]
                         ).tree()
-                    dev = qstep(variables, qstate["tree"], batch_by_level)
+                        if mesh is not None:
+                            from ss25_hierarchical_multiscale_image_classification_tpu.parallel.mesh import (
+                                replicate as _rep,
+                            )
+
+                            tree = _rep(mesh, tree)
+                        qstate["tree"] = tree
+                    dev = qstep(variables, qstate["tree"], _put(batch_by_level))
                 else:
-                    dev = step(params, batch_stats, batch_by_level)
+                    dev = step(params, batch_stats, _put(batch_by_level))
                 if pending is not None:
                     prev, prev_pos = pending
                     probs[prev_pos] = np.asarray(prev)[: len(prev_pos)]

@@ -236,3 +236,34 @@ def test_predict_slide_multiscale_int8(synthetic_case):
     assert np.abs(probs_q[tissue] - probs_f[tissue]).max() < 0.15, (
         probs_q, probs_f,
     )
+
+
+def test_predict_slide_multiscale_meshed(synthetic_case):
+    """Mesh-sharded multiscale prediction (spatial data parallelism over
+    the virtual 8-device mesh) matches the single-device result."""
+    import os
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.multiscale import (
+        predict_slide_multiscale,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.parallel.mesh import (
+        make_mesh,
+    )
+
+    model = HierarchicalPatchClassifier(levels=(2, 3), dtype=jnp.float32)
+    s = 64
+    init = {lvl: jnp.zeros((1, s, s, 3), jnp.float32) for lvl in (2, 3)}
+    variables = model.init(jax.random.key(0), init, train=False)
+
+    slide_path = os.path.join(
+        synthetic_case, "train", "img", "tumor_001.wsi.npz"
+    )
+    kw = dict(levels=(2, 3), stride=112, batch_size=8, model=model,
+              input_size=s)
+    ref, _ = predict_slide_multiscale(slide_path, dict(variables), **kw)
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    got, _ = predict_slide_multiscale(
+        slide_path, dict(variables), mesh=mesh, **kw
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
