@@ -148,18 +148,22 @@ def _rot90_k(img, k):
 
 def _bilinear_resample(img, y0, x0, h_span, w_span, out_size: int):
     """Sample an axis-aligned box [y0, y0+h_span)×[x0, x0+w_span) from (H,W,3)
-    ``img`` into (out, out, 3) with bilinear interpolation. All args traced."""
+    ``img`` into (out, out, 3) with bilinear interpolation. All args traced.
+
+    Coordinate math is always f32 — at bf16, positions near 224 quantize
+    to ~1.75 px — only the pixel blend runs in the image dtype."""
     H, W = img.shape[0], img.shape[1]
-    oy = (jnp.arange(out_size, dtype=img.dtype) + 0.5) / out_size
-    ox = (jnp.arange(out_size, dtype=img.dtype) + 0.5) / out_size
-    sy = y0 + oy * h_span - 0.5
-    sx = x0 + ox * w_span - 0.5
+    f32 = jnp.float32
+    oy = (jnp.arange(out_size, dtype=f32) + 0.5) / out_size
+    ox = (jnp.arange(out_size, dtype=f32) + 0.5) / out_size
+    sy = y0.astype(f32) + oy * h_span.astype(f32) - 0.5
+    sx = x0.astype(f32) + ox * w_span.astype(f32) - 0.5
     y_lo = jnp.clip(jnp.floor(sy), 0, H - 1)
     x_lo = jnp.clip(jnp.floor(sx), 0, W - 1)
     y_hi = jnp.clip(y_lo + 1, 0, H - 1)
     x_hi = jnp.clip(x_lo + 1, 0, W - 1)
-    wy = jnp.clip(sy - y_lo, 0.0, 1.0)[:, None, None]
-    wx = jnp.clip(sx - x_lo, 0.0, 1.0)[None, :, None]
+    wy = jnp.clip(sy - y_lo, 0.0, 1.0)[:, None, None].astype(img.dtype)
+    wx = jnp.clip(sx - x_lo, 0.0, 1.0)[None, :, None].astype(img.dtype)
     y_lo, y_hi = y_lo.astype(jnp.int32), y_hi.astype(jnp.int32)
     x_lo, x_hi = x_lo.astype(jnp.int32), x_hi.astype(jnp.int32)
 
@@ -238,9 +242,12 @@ def preprocess_batch(rng, imgs_u8, training: bool = True):
 
 
 def _simclr_view_one(rng, img_u8, out_size: int):
-    """One SimCLR view (``src/models/simclr.py:57-66``)."""
+    """One SimCLR view (``src/models/simclr.py:57-66``).
+
+    bf16 pipeline (reductions/coordinates stay f32) — same HBM-bound
+    rationale as ``_train_augment_one``."""
     k_crop, k_h, k_jp, k_j, k_gp = jax.random.split(rng, 5)
-    img = img_u8.astype(jnp.float32) / 255.0
+    img = img_u8.astype(jnp.bfloat16) / 255.0
     img = random_resized_crop(k_crop, img, out_size)
     img = jnp.where(jax.random.bernoulli(k_h), img[:, ::-1], img)
     jittered = color_jitter(k_j, img, 0.4, 0.4, 0.4, 0.1)
