@@ -411,6 +411,9 @@ def quantize_resnet18(
     Bit-exact vs the direct 7×7/2 conv; default (``None``) auto-enables
     it whenever the preconditions hold (measured +7% end-to-end on v5e).
     """
+    # materialize once: calibrate() consumes the iterable, and the hw probe
+    # below must see the same batches (a generator would be empty by then)
+    calib_batches = list(calib_batches)
     folded = fold_batchnorm(variables)
     ascales = calibrate(folded, calib_batches)
     bias_map = None
