@@ -126,10 +126,41 @@ class MultiscaleDataset:
         labels = self.labels[np.asarray(indices, np.int64)]
         return imgs, labels
 
+    def split_by_slide(
+        self, val_fraction: float = 0.2, seed: int = 42
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Slide-level train/val sample indices (the reference's split
+        semantics, ``src/main.py:414``); with <2 slides falls back to a
+        deterministic 80/20 sample split so calibration always has val data.
+        """
+        from ss25_hierarchical_multiscale_image_classification_tpu.data.datasets import (
+            slide_level_split,
+        )
+
+        slides = sorted({s.slide for s in self.samples})
+        idx = np.arange(len(self.samples))
+        if len(slides) < 2:
+            rng = np.random.default_rng(seed)
+            order = rng.permutation(idx)
+            n_val = max(1, int(round(val_fraction * len(order))))
+            return np.sort(order[n_val:]), np.sort(order[:n_val])
+        train_slides, val_slides = slide_level_split(
+            slides, val_fraction, seed
+        )
+        train_set = set(train_slides)
+        is_train = np.array(
+            [s.slide in train_set for s in self.samples], bool
+        )
+        return idx[is_train], idx[~is_train]
+
     def batches(
-        self, batch_size: int, shuffle: bool = True, seed: int = 0
+        self, batch_size: int, shuffle: bool = True, seed: int = 0,
+        indices: np.ndarray | None = None,
     ) -> Iterator[tuple[dict[int, np.ndarray], np.ndarray, np.ndarray]]:
-        order = np.arange(len(self.samples))
+        order = (
+            np.arange(len(self.samples))
+            if indices is None else np.asarray(indices, np.int64).copy()
+        )
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
         for start in range(0, len(order), batch_size):

@@ -1,0 +1,110 @@
+"""Post-hoc probability calibration for detection-grade probabilities.
+
+The FROC producer emits detections above a fixed probability threshold
+(``infer/sliding_window.py``); an over/under-confident head therefore
+changes WHICH cells become detections, not just their scores. Temperature
+scaling (Guo et al., 2017) is the standard monotone fix: one scalar ``T``
+per head, fitted on held-out validation logits by NLL. Ranking across
+heads (fusion vs per-scale ensemble) is selected by validation ROC-AUC —
+the ranking metric FROC ultimately consumes.
+
+The reference has no calibration stage (its producer is absent altogether,
+SURVEY.md §3.5); this closes the round-2 gap where the hierarchical fusion
+head's uncalibrated probabilities scored below the single-level producer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ss25_hierarchical_multiscale_image_classification_tpu.logging_utils import (
+    get_logger,
+)
+
+log = get_logger("evaluation.calibration")
+
+
+def _nll(logits: np.ndarray, labels: np.ndarray, temperature: float) -> float:
+    """Mean negative log-likelihood of softmax(logits / T)."""
+    z = logits.astype(np.float64) / float(temperature)
+    z = z - z.max(axis=-1, keepdims=True)
+    logp = z - np.log(np.exp(z).sum(axis=-1, keepdims=True))
+    return float(-logp[np.arange(len(labels)), labels].mean())
+
+
+def fit_temperature(
+    logits: np.ndarray,
+    labels: np.ndarray,
+    bounds: tuple[float, float] = (0.05, 20.0),
+) -> float:
+    """Scalar temperature minimizing val NLL (1-D bounded search).
+
+    Returns 1.0 when the fit is degenerate (one class absent, <2 samples).
+    """
+    labels = np.asarray(labels)
+    logits = np.asarray(logits, np.float64)
+    if len(labels) < 2 or len(np.unique(labels)) < 2:
+        return 1.0
+    from scipy.optimize import minimize_scalar
+
+    # optimize in log-T so the search treats 0.5 and 2.0 symmetrically
+    res = minimize_scalar(
+        lambda logt: _nll(logits, labels, float(np.exp(logt))),
+        bounds=(np.log(bounds[0]), np.log(bounds[1])),
+        method="bounded",
+    )
+    t = float(np.exp(res.x))
+    log.info("temperature fit: T=%.3f (NLL %.4f → %.4f)", t,
+             _nll(logits, labels, 1.0), _nll(logits, labels, t))
+    return t
+
+
+def roc_auc(scores: np.ndarray, labels: np.ndarray) -> float:
+    """Rank-based ROC-AUC (Mann-Whitney U), tie-aware; 0.5 if degenerate."""
+    scores = np.asarray(scores, np.float64)
+    labels = np.asarray(labels)
+    pos = scores[labels == 1]
+    neg = scores[labels == 0]
+    if len(pos) == 0 or len(neg) == 0:
+        return 0.5
+    # midranks over the pooled sample
+    pooled = np.concatenate([pos, neg])
+    order = np.argsort(pooled, kind="mergesort")
+    ranks = np.empty(len(pooled), np.float64)
+    sorted_vals = pooled[order]
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j + 1 < len(pooled) and sorted_vals[j + 1] == sorted_vals[i]:
+            j += 1
+        ranks[order[i : j + 1]] = 0.5 * (i + j) + 1.0
+        i = j + 1
+    r_pos = ranks[: len(pos)].sum()
+    u = r_pos - len(pos) * (len(pos) + 1) / 2.0
+    return float(u / (len(pos) * len(neg)))
+
+
+def pick_ensemble_weight(
+    p_fusion: np.ndarray,
+    p_aux: np.ndarray,
+    labels: np.ndarray,
+    grid: np.ndarray | None = None,
+) -> tuple[float, float]:
+    """Pick w maximizing val ROC-AUC of ``w*p_fusion + (1-w)*p_aux``.
+
+    ``p_*`` are tumor-class probabilities (already temperature-scaled).
+    Returns (w, auc). Ties prefer the middle (w=0.5) — averaging is the
+    variance-reducing default when the heads are indistinguishable on val.
+    """
+    if grid is None:
+        grid = np.linspace(0.0, 1.0, 21)
+    labels = np.asarray(labels)
+    best_w, best_auc = 0.5, -1.0
+    for w in sorted(grid, key=lambda v: abs(v - 0.5)):
+        auc = roc_auc(w * p_fusion + (1.0 - w) * p_aux, labels)
+        if auc > best_auc + 1e-12:
+            best_w, best_auc = float(w), auc
+    log.info("ensemble weight: w=%.2f (val AUC %.4f; fusion-only %.4f, "
+             "aux-only %.4f)", best_w, best_auc,
+             roc_auc(p_fusion, labels), roc_auc(p_aux, labels))
+    return best_w, best_auc

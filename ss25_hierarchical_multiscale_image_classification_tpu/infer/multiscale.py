@@ -42,11 +42,38 @@ from ss25_hierarchical_multiscale_image_classification_tpu.models.hierarchical i
 log = get_logger("infer.multiscale")
 
 
-def make_prob_step_multiscale_int8(model, levels, input_size: int = 224):
+def _combine_probs(logits, aux, temperature, aux_temperature,
+                   ensemble_weight):
+    """(fusion logits, aux logits|None) → (B, 3) tumor probabilities:
+    columns [ensemble, fusion, aux-mean], temperature-scaled per head.
+    Without aux heads all columns carry the fusion probability."""
+    import jax.numpy as jnp
+
+    p_fusion = jax.nn.softmax(
+        logits.astype(jnp.float32) / temperature, axis=-1
+    )[:, 1]
+    if aux is None:
+        return jnp.stack([p_fusion, p_fusion, p_fusion], axis=1)
+    p_aux = jnp.mean(
+        jax.nn.softmax(
+            aux.astype(jnp.float32) / aux_temperature, axis=-1
+        )[:, :, 1],
+        axis=1,
+    )
+    p_ens = ensemble_weight * p_fusion + (1.0 - ensemble_weight) * p_aux
+    return jnp.stack([p_ens, p_fusion, p_aux], axis=1)
+
+
+def make_prob_step_multiscale_int8(
+    model, levels, input_size: int = 224, temperature: float = 1.0,
+    aux_temperature: float = 1.0, ensemble_weight: float = 1.0,
+    with_aux: bool = False,
+):
     """int8 variant: the SHARED trunk runs quantized (w8a8, one stacked
     MXU batch over all scales — ``models/quantized.py``); the scale
-    embedding + fusion head stay float via
-    :meth:`~..models.hierarchical.HierarchicalPatchClassifier.fuse`."""
+    embedding + fusion/aux heads stay float via
+    :meth:`~..models.hierarchical.HierarchicalPatchClassifier.fuse` /
+    ``aux_logits``. Returns (B, 3) probs [ensemble, fusion, aux]."""
     import jax.numpy as jnp
 
     from ss25_hierarchical_multiscale_image_classification_tpu.models.hierarchical import (
@@ -75,23 +102,35 @@ def make_prob_step_multiscale_int8(model, levels, input_size: int = 224):
         feats = quant_forward(qtree, stacked, with_fc=False)  # (S*B, 512)
         b = parts[0].shape[0]
         feats = feats.reshape(len(levels), b, 512).transpose(1, 0, 2)
+        feats = feats.astype(jnp.float32)
         logits = model.apply(
-            variables, feats.astype(jnp.float32),
-            method=HierarchicalPatchClassifier.fuse,
+            variables, feats, method=HierarchicalPatchClassifier.fuse
         )
-        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
+        aux = (
+            model.apply(
+                variables, feats,
+                method=HierarchicalPatchClassifier.aux_logits,
+            )
+            if with_aux else None
+        )
+        return _combine_probs(
+            logits, aux, temperature, aux_temperature, ensemble_weight
+        )
 
     return prob_step
 
 
-def make_prob_step_multiscale(model, levels, input_size: int = 224):
-    """Jitted step: dict {level: u8 (B, ps_l, ps_l, 3)} → tumor prob (B,).
+def make_prob_step_multiscale(
+    model, levels, input_size: int = 224, temperature: float = 1.0,
+    aux_temperature: float = 1.0, ensemble_weight: float = 1.0,
+    with_aux: bool = False,
+):
+    """Jitted step: dict {level: u8 (B, ps_l, ps_l, 3)} → (B, 3) tumor
+    probs [calibrated ensemble, fusion, per-scale-aux mean].
 
     Each level normalizes and resizes to ``input_size`` on device (the
     trainer's :class:`~..data.multiscale.MultiscaleDataset` resizes on
     host; at inference the device does it so the host stays on decode)."""
-    import jax.numpy as jnp
-
     from ss25_hierarchical_multiscale_image_classification_tpu.data.augment import (
         normalize,
     )
@@ -109,11 +148,14 @@ def make_prob_step_multiscale(model, levels, input_size: int = 224):
                     method="bilinear",
                 )
             prepared[lvl] = x
-        logits = model.apply(
+        out = model.apply(
             {"params": params, "batch_stats": batch_stats}, prepared,
-            train=False,
+            train=False, with_aux=with_aux,
         )
-        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
+        logits, aux = out if with_aux else (out, None)
+        return _combine_probs(
+            logits, aux, temperature, aux_temperature, ensemble_weight
+        )
 
     return prob_step
 
@@ -130,7 +172,10 @@ def predict_slide_multiscale(
     fusion: str = "concat",
     int8: bool = False,
     mesh=None,
-) -> tuple[np.ndarray, PatchGrid]:
+    combine: str = "auto",
+    return_components: bool = False,
+    qtree: dict | None = None,
+):
     """Multiscale tumor probability per co-located grid cell.
 
     The grid lives on the FINEST pyramid level requested (max level number
@@ -141,7 +186,16 @@ def predict_slide_multiscale(
     head float. With a ``mesh`` the per-level batches are sharded over
     the data axis — the slide's multiscale grid runs spatially
     data-parallel over ICI, like the single-level producer.
-    Returns (probs (ny, nx), base grid).
+
+    ``combine`` selects the reported probability: ``"auto"`` (the
+    artifact's calibrated fusion/per-scale ensemble — falls back to
+    fusion-only for pre-calibration artifacts), ``"ensemble"``,
+    ``"fusion"``, or ``"aux"`` (per-scale mean, the per-level-probability
+    ensemble baseline). All three surfaces are computed in ONE pass over
+    the slide (they share the trunk); ``return_components=True``
+    additionally returns ``{"ensemble"|"fusion"|"aux": (ny, nx)}``.
+
+    Returns (probs (ny, nx), base grid[, components]).
     """
     levels = tuple(sorted(levels))
     base = max(levels)
@@ -162,6 +216,22 @@ def predict_slide_multiscale(
         )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        calibration = dict(variables.get("calibration", {}) or {})
+        has_aux = "aux_head" in params
+        temperature = float(calibration.get("temperature", 1.0))
+        aux_temperature = float(calibration.get("aux_temperature", 1.0))
+        ensemble_weight = float(
+            calibration.get("ensemble_weight", 1.0 if not has_aux else 0.5)
+        )
+        if combine not in ("auto", "ensemble", "fusion", "aux"):
+            raise ValueError(f"unknown combine mode {combine!r}")
+        if not has_aux and combine in ("auto", "ensemble", "aux"):
+            combine = "fusion"  # pre-calibration artifact: fusion only
+        col = {"auto": 0, "ensemble": 0, "fusion": 1, "aux": 2}[combine]
+        step_kw = dict(
+            temperature=temperature, aux_temperature=aux_temperature,
+            ensemble_weight=ensemble_weight, with_aux=has_aux,
+        )
         if mesh is not None:
             from ss25_hierarchical_multiscale_image_classification_tpu.parallel.mesh import (
                 batch_sharding,
@@ -186,13 +256,25 @@ def predict_slide_multiscale(
                     for lvl, x in tree.items()
                 }
         else:
+            variables = {"params": params, "batch_stats": batch_stats}
+
             def _put(tree):
                 return tree
         if int8:
-            qstep = make_prob_step_multiscale_int8(model, levels, input_size)
+            qstep = make_prob_step_multiscale_int8(
+                model, levels, input_size, **step_kw
+            )
             qstate: dict = {}
+            if qtree is not None:
+                # persisted trunk artifact: deterministic scales (see
+                # models/quant_artifact.py), no lazy per-slide calibration
+                qstate["tree"] = (
+                    qtree if mesh is None else replicate(mesh, qtree)
+                )
         else:
-            step = make_prob_step_multiscale(model, levels, input_size)
+            step = make_prob_step_multiscale(
+                model, levels, input_size, **step_kw
+            )
 
         ps = {lvl: patch_size_for_level(lvl) for lvl in levels}
         ds = {lvl: slide.level_downsamples[lvl] for lvl in levels}
@@ -208,11 +290,16 @@ def predict_slide_multiscale(
                 w_l, h_l = dims[lvl]
                 y_l = int(round(y0_l0 / ds[lvl]))
                 h = min(ps[lvl], h_l - y_l)
-                band = slide.read_region((0, y0_l0), lvl, (w_l, max(h, 0)))
+                if h <= 0:
+                    # rounding can put a coarse-level band start at/past the
+                    # level height; a zero-height region read is backend-
+                    # dependent, so return the all-white band directly
+                    out[lvl] = np.full((ps[lvl], w_l, 3), 255, np.uint8)
+                    continue
+                band = slide.read_region((0, y0_l0), lvl, (w_l, h))
                 if h < ps[lvl]:
                     full = np.full((ps[lvl], w_l, 3), 255, np.uint8)
-                    if h > 0:
-                        full[:h] = band
+                    full[:h] = band
                     band = full
                 out[lvl] = band
             return out
@@ -223,7 +310,7 @@ def predict_slide_multiscale(
 
         ny, nx = grid.ny, grid.nx
         n = grid.num_patches
-        probs = np.zeros((n,), np.float32)
+        probs = np.zeros((n, 3), np.float32)  # [ensemble, fusion, aux]
 
         def fresh_batch():
             return {
@@ -327,10 +414,16 @@ def predict_slide_multiscale(
             # stop/join BEFORE the outer finally closes the slide handle
             producer.stop()
 
-        out = np.zeros((ny, nx), np.float32)
+        grids = np.zeros((3, ny, nx), np.float32)
         for i in range(n):
             ix, iy = divmod(i, ny)
-            out[iy, ix] = probs[i]
+            grids[:, iy, ix] = probs[i]
+        out = grids[col]
+        if return_components:
+            components = {
+                "ensemble": grids[0], "fusion": grids[1], "aux": grids[2]
+            }
+            return out, grid, components
         return out, grid
     finally:
         if own:

@@ -58,8 +58,14 @@ class HierarchicalPatchClassifier(nn.Module):
                                     param_dtype=self.param_dtype)
         self.head_out = nn.Dense(self.num_classes, dtype=self.dtype,
                                  param_dtype=self.param_dtype)
+        # per-scale auxiliary classifier, shared across scales (the scale
+        # embedding already distinguishes them): deep supervision during
+        # training AND the per-level-probability ensemble at inference
+        self.aux_head = nn.Dense(self.num_classes, dtype=self.dtype,
+                                 param_dtype=self.param_dtype)
 
-    def __call__(self, patches_by_level: dict, train: bool = False):
+    def __call__(self, patches_by_level: dict, train: bool = False,
+                 with_aux: bool = False):
         levels = sorted(patches_by_level)
         if list(levels) != sorted(self.levels):
             raise ValueError(
@@ -73,7 +79,16 @@ class HierarchicalPatchClassifier(nn.Module):
         )
         feats = self.trunk(stacked, train=train)  # (S*B, 512)
         feats = feats.reshape(s, b, 512).transpose(1, 0, 2)  # (B, S, 512)
+        if with_aux:
+            return self.fuse(feats), self.aux_logits(feats)
         return self.fuse(feats)
+
+    def aux_logits(self, feats):
+        """(B, S, 512) pooled per-scale features → (B, S, num_classes)
+        per-scale logits (the single-magnification opinions the ensemble
+        averages with the fusion head)."""
+        e = feats + self.scale_embed[None, :, :].astype(feats.dtype)
+        return self.aux_head(e.astype(self.dtype)).astype(jnp.float32)
 
     def fuse(self, feats):
         """(B, S, 512) pooled per-scale features → (B, num_classes) logits.

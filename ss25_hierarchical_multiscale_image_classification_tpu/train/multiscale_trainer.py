@@ -52,9 +52,18 @@ def train_multiscale_classifier(
     dataset: MultiscaleDataset | None = None,
     fusion: str = "concat",
     batch_size: int | None = None,
+    aux_weight: float = 0.5,
 ) -> dict:
     """Train the fusion classifier; writes the ``hierarchical_classifier``
-    artifact and returns {"variables", "history"}."""
+    artifact and returns {"variables", "history", "calibration"}.
+
+    Beyond the fusion head, per-scale auxiliary heads are deeply supervised
+    (``aux_weight`` × mean per-scale CE). After training, a slide-level val
+    split calibrates detection-grade probabilities: per-head temperature by
+    NLL and a fusion-vs-per-scale-ensemble weight by ROC-AUC
+    (``evaluation/calibration.py``); both ship inside the artifact so the
+    FROC producer emits calibrated probabilities.
+    """
     if dataset is None:
         dataset = MultiscaleDataset.from_patches_dir(
             cfg.data.patches_dir, levels=levels
@@ -67,6 +76,11 @@ def train_multiscale_classifier(
     levels = tuple(dataset.levels)
     batch_size = batch_size or cfg.train.batch_size
     mesh = make_mesh()
+    train_idx, val_idx = dataset.split_by_slide(
+        cfg.data.val_fraction, cfg.data.split_seed
+    )
+    log.info("multiscale split: %d train / %d val cells",
+             len(train_idx), len(val_idx))
 
     model = HierarchicalPatchClassifier(
         levels=levels, num_classes=cfg.model.num_classes, fusion=fusion
@@ -75,8 +89,10 @@ def train_multiscale_classifier(
     init_batch = {
         lvl: jnp.zeros((1, s, s, 3), jnp.float32) for lvl in levels
     }
+    # with_aux=True so the per-scale aux head's params are created at init
+    # (linen materializes Dense params on first call)
     variables = model.init(jax.random.key(cfg.train.seed), init_batch,
-                           train=False)
+                           train=False, with_aux=True)
     params, batch_stats = variables["params"], variables["batch_stats"]
     tx = optax.adam(cfg.train.learning_rate)
     opt_state = tx.init(params)
@@ -85,7 +101,9 @@ def train_multiscale_classifier(
     opt_state = replicate(mesh, opt_state)
 
     weights = jnp.asarray(
-        class_weights_inv_min(dataset.labels, cfg.model.num_classes)
+        class_weights_inv_min(
+            dataset.labels[train_idx], cfg.model.num_classes
+        )
     )
 
     @jax.jit
@@ -93,11 +111,19 @@ def train_multiscale_classifier(
         batch = {lvl: normalize(x) for lvl, x in batch_u8.items()}
 
         def loss_fn(p):
-            logits, upd = model.apply(
+            (logits, aux), upd = model.apply(
                 {"params": p, "batch_stats": batch_stats}, batch,
-                train=True, mutable=["batch_stats"],
+                train=True, with_aux=True, mutable=["batch_stats"],
             )
             loss = weighted_cross_entropy(logits, labels, weights, valid)
+            # deep supervision: each scale's head must classify alone
+            s = aux.shape[1]
+            aux_flat = aux.reshape(-1, aux.shape[-1])
+            labels_s = jnp.tile(labels, s)
+            valid_s = jnp.tile(valid, s)
+            loss = loss + aux_weight * weighted_cross_entropy(
+                aux_flat, labels_s, weights, valid_s
+            )
             return loss, (logits, upd)
 
         (loss, (logits, upd)), grads = jax.value_and_grad(
@@ -109,13 +135,23 @@ def train_multiscale_classifier(
         return (params, upd["batch_stats"], opt_state, loss, correct,
                 jnp.sum(valid))
 
+    @jax.jit
+    def eval_step(params, batch_stats, batch_u8):
+        batch = {lvl: normalize(x) for lvl, x in batch_u8.items()}
+        logits, aux = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch,
+            train=False, with_aux=True,
+        )
+        return logits, aux
+
     epochs = epochs or cfg.train.strategy_epochs
     history = []
     for epoch in range(epochs):
         t0 = time.perf_counter()
         step_out = []  # device scalars; fetched once per epoch
         for imgs, labels, valid in dataset.batches(
-            batch_size, shuffle=True, seed=cfg.train.seed + epoch
+            batch_size, shuffle=True, seed=cfg.train.seed + epoch,
+            indices=train_idx,
         ):
             batch = shard_batch(mesh, imgs)
             labels_d, valid_d = shard_batch(mesh, (labels, valid))
@@ -134,11 +170,57 @@ def train_multiscale_classifier(
             epoch + 1, epochs, total, acc, time.perf_counter() - t0,
         )
 
+    # ---- post-hoc calibration on the held-out slides -----------------
+    from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.calibration import (
+        fit_temperature,
+        pick_ensemble_weight,
+    )
+
+    val_logits, val_aux, val_labels = [], [], []
+    for imgs, labels, valid in dataset.batches(
+        batch_size, shuffle=False, indices=val_idx
+    ):
+        batch = shard_batch(mesh, imgs)
+        logits, aux = eval_step(params, batch_stats, batch)
+        keep = valid > 0
+        val_logits.append(np.asarray(logits)[keep])
+        val_aux.append(np.asarray(aux)[keep])
+        val_labels.append(labels[keep])
+    calibration = {"temperature": 1.0, "aux_temperature": 1.0,
+                   "ensemble_weight": 0.5}
+    if val_logits:
+        logits = np.concatenate(val_logits)
+        aux = np.concatenate(val_aux)
+        labels_np = np.concatenate(val_labels)
+        s = aux.shape[1]
+        t_fusion = fit_temperature(logits, labels_np)
+        t_aux = fit_temperature(
+            aux.reshape(-1, aux.shape[-1]), np.tile(labels_np, s)
+        )
+
+        def _softmax(z, t):
+            z = z / t
+            z = z - z.max(axis=-1, keepdims=True)
+            e = np.exp(z)
+            return e / e.sum(axis=-1, keepdims=True)
+
+        p_fusion = _softmax(logits, t_fusion)[:, 1]
+        p_aux = _softmax(aux, t_aux)[:, :, 1].mean(axis=1)
+        w, auc = pick_ensemble_weight(p_fusion, p_aux, labels_np)
+        calibration = {
+            "temperature": float(t_fusion),
+            "aux_temperature": float(t_aux),
+            "ensemble_weight": float(w),
+        }
+        log.info("calibration: %s (val AUC %.4f)", calibration, auc)
+
     out = {
         "params": jax.device_get(params),
         "batch_stats": jax.device_get(batch_stats),
+        "calibration": calibration,
     }
     save_model(
         model_artifact_path(cfg.models_dir, "hierarchical_classifier"), out
     )
-    return {"variables": out, "history": history, "levels": levels}
+    return {"variables": out, "history": history, "levels": levels,
+            "calibration": calibration}

@@ -1,0 +1,96 @@
+"""Temperature scaling + ensemble-weight selection (evaluation/calibration)."""
+
+import numpy as np
+import pytest
+
+from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.calibration import (
+    fit_temperature,
+    pick_ensemble_weight,
+    roc_auc,
+)
+
+
+def _synthetic_logits(rng, n=2000, scale=4.0, sep=1.5):
+    """Binary logits that are overconfident by ``scale``: the log-odds are
+    ``scale *`` the Bayes-calibrated ones, so the NLL-optimal T ≈ scale."""
+    labels = rng.integers(0, 2, n)
+    margin = sep * (2 * labels - 1) + rng.normal(0, sep, n)
+    logits = np.stack([np.zeros(n), margin * scale], axis=1)
+    return logits, labels
+
+
+def test_fit_temperature_recovers_overconfidence():
+    rng = np.random.default_rng(0)
+    logits, labels = _synthetic_logits(rng, scale=4.0)
+    t = fit_temperature(logits, labels)
+    assert 2.0 < t < 8.0  # pulls the x4 overconfidence back toward 1
+    # NLL at the fitted T beats T=1
+    from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.calibration import (
+        _nll,
+    )
+
+    assert _nll(logits, labels, t) < _nll(logits, labels, 1.0)
+
+
+def test_fit_temperature_degenerate_returns_identity():
+    assert fit_temperature(np.zeros((1, 2)), np.array([1])) == 1.0
+    assert fit_temperature(np.zeros((5, 2)), np.ones(5, int)) == 1.0
+
+
+def test_temperature_is_monotone():
+    """Scaling preserves ranking: the FROC curve shape only changes through
+    the emission threshold, which is the point of calibrating."""
+    rng = np.random.default_rng(1)
+    logits, labels = _synthetic_logits(rng, n=500)
+    t = fit_temperature(logits, labels)
+
+    def p(z, temp):
+        z = z / temp
+        e = np.exp(z - z.max(axis=1, keepdims=True))
+        return (e / e.sum(axis=1, keepdims=True))[:, 1]
+
+    order1 = np.argsort(p(logits, 1.0), kind="stable")
+    order2 = np.argsort(p(logits, t), kind="stable")
+    np.testing.assert_array_equal(order1, order2)
+
+
+def test_roc_auc_matches_sklearn():
+    from sklearn.metrics import roc_auc_score
+
+    rng = np.random.default_rng(2)
+    labels = rng.integers(0, 2, 300)
+    scores = rng.normal(0, 1, 300) + labels  # informative
+    assert roc_auc(scores, labels) == pytest.approx(
+        roc_auc_score(labels, scores), abs=1e-9
+    )
+    # ties handled (midranks)
+    scores_q = np.round(scores * 2) / 2
+    assert roc_auc(scores_q, labels) == pytest.approx(
+        roc_auc_score(labels, scores_q), abs=1e-9
+    )
+
+
+def test_roc_auc_degenerate():
+    assert roc_auc(np.array([0.1, 0.9]), np.array([1, 1])) == 0.5
+
+
+def test_pick_ensemble_weight_prefers_better_head():
+    rng = np.random.default_rng(3)
+    labels = rng.integers(0, 2, 1000)
+    # informative but imperfect, so AUC varies smoothly with w and the
+    # search has a real optimum (a separable head ties at AUC=1 for many w)
+    good = labels + rng.normal(0, 0.8, 1000)
+    noise = rng.uniform(size=1000)
+    w, auc = pick_ensemble_weight(good, noise, labels)
+    assert w >= 0.75  # leans (almost) fully onto the informative head
+    w2, _ = pick_ensemble_weight(noise, good, labels)
+    assert w2 <= 0.25
+    assert auc > 0.7
+
+
+def test_pick_ensemble_weight_averages_identical_heads():
+    rng = np.random.default_rng(4)
+    labels = rng.integers(0, 2, 400)
+    p = 0.7 * labels + 0.3 * rng.uniform(size=400)
+    w, _ = pick_ensemble_weight(p, p, labels)
+    assert w == pytest.approx(0.5)  # tie prefers the variance-reducing mean

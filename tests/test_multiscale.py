@@ -267,3 +267,73 @@ def test_predict_slide_multiscale_meshed(synthetic_case):
         slide_path, dict(variables), mesh=mesh, **kw
     )
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_predict_multiscale_calibrated_components(synthetic_case):
+    """One pass yields all three probability surfaces; the ensemble is the
+    calibrated convex mix of fusion and per-scale-aux (round-3 capability:
+    calibrated detection probabilities for the namesake model)."""
+    import os
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.multiscale import (
+        predict_slide_multiscale,
+    )
+
+    model = HierarchicalPatchClassifier(levels=(2, 3), dtype=jnp.float32)
+    s = 64
+    init = {lvl: jnp.zeros((1, s, s, 3), jnp.float32) for lvl in (2, 3)}
+    variables = dict(
+        model.init(jax.random.key(0), init, train=False, with_aux=True)
+    )
+    variables["calibration"] = {
+        "temperature": 2.0, "aux_temperature": 1.5, "ensemble_weight": 0.25
+    }
+    slide_path = os.path.join(
+        synthetic_case, "train", "img", "tumor_001.wsi.npz"
+    )
+    probs, grid, comps = predict_slide_multiscale(
+        slide_path, variables, levels=(2, 3), stride=112, batch_size=4,
+        model=model, input_size=s, return_components=True,
+    )
+    assert set(comps) == {"ensemble", "fusion", "aux"}
+    np.testing.assert_allclose(probs, comps["ensemble"], atol=1e-6)
+    np.testing.assert_allclose(
+        comps["ensemble"],
+        0.25 * comps["fusion"] + 0.75 * comps["aux"], atol=1e-5,
+    )
+    # the surfaces differ (different heads) on at least one tissue cell
+    assert not np.allclose(comps["fusion"], comps["aux"])
+
+    # combine="fusion" reports the fusion surface
+    p_f, _ = predict_slide_multiscale(
+        slide_path, variables, levels=(2, 3), stride=112, batch_size=4,
+        model=model, input_size=s, combine="fusion",
+    )
+    np.testing.assert_allclose(p_f, comps["fusion"], atol=1e-6)
+
+
+def test_predict_multiscale_pre_calibration_artifact_falls_back(
+    synthetic_case,
+):
+    """Artifacts saved before the aux head existed still predict: combine
+    modes needing aux fall back to fusion-only."""
+    import os
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.multiscale import (
+        predict_slide_multiscale,
+    )
+
+    model = HierarchicalPatchClassifier(levels=(2, 3), dtype=jnp.float32)
+    s = 64
+    init = {lvl: jnp.zeros((1, s, s, 3), jnp.float32) for lvl in (2, 3)}
+    variables = dict(model.init(jax.random.key(0), init, train=False))
+    assert "aux_head" not in variables["params"]
+    slide_path = os.path.join(
+        synthetic_case, "train", "img", "tumor_001.wsi.npz"
+    )
+    probs, grid, comps = predict_slide_multiscale(
+        slide_path, variables, levels=(2, 3), stride=112, batch_size=4,
+        model=model, input_size=s, return_components=True,
+    )
+    np.testing.assert_allclose(comps["fusion"], comps["aux"], atol=1e-6)
+    np.testing.assert_allclose(probs, comps["fusion"], atol=1e-6)
