@@ -143,7 +143,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Post-training int8 (w8a8) inference for"
                              " --extract_features / --predict_slide: BN-fold"
                              " + per-channel weight quant + calibrated"
-                             " activation scales (models/quantized.py)")
+                             " activation scales (models/quantized.py)."
+                             " Uses the persisted --quantize artifact when"
+                             " present; falls back to lazy calibration")
+    parser.add_argument("--quantize", action="store_true",
+                        help="Calibrate int8 scales ONCE on training tissue"
+                             " and persist the quantized model artifact"
+                             " (quantized_resnet18.npz; with --multiscale:"
+                             " quantized_hierarchical_trunk.npz) for"
+                             " deterministic --int8 inference")
     parser.add_argument("--extract_impl", type=str, default="host",
                         choices=["host", "device"],
                         help="Patch extraction implementation: bounded-memory"
@@ -397,6 +405,20 @@ def main(argv=None) -> int:
         levels = tuple(int(v) for v in args.levels.split(","))
         train_multiscale_classifier(cfg, levels=levels, epochs=args.epochs)
 
+    if args.quantize:
+        from ss25_hierarchical_multiscale_image_classification_tpu.models.quant_artifact import (
+            quantize_classifier_to_artifact,
+            quantize_trunk_to_artifact,
+        )
+
+        level = int(args.patch_level) if args.patch_level != "all" else 3
+        if args.multiscale:
+            quantize_trunk_to_artifact(
+                cfg, levels=tuple(int(v) for v in args.levels.split(","))
+            )
+        else:
+            quantize_classifier_to_artifact(cfg, level=level)
+
     if args.mine_hard_negatives:
         from ss25_hierarchical_multiscale_image_classification_tpu.train.checkpoints import (
             load_model,
@@ -425,49 +447,102 @@ def main(argv=None) -> int:
         level = int(args.patch_level) if args.patch_level != "all" else 3
         csv_dir = os.path.join(cfg.models_dir, "model_predictions_csv")
 
+        import jax
+
+        def _full_mesh():
+            """All visible devices as a 1-D data mesh (None on one chip:
+            the unsharded path avoids pointless device_put laps)."""
+            if len(jax.devices()) <= 1:
+                return None
+            from ss25_hierarchical_multiscale_image_classification_tpu.parallel.mesh import (
+                make_mesh,
+            )
+
+            return make_mesh()
+
+        def _checked_group_size():
+            group_size = args.group_size
+            n_dev = len(jax.devices())
+            if group_size is not None and (
+                group_size < 1 or n_dev % group_size
+            ):
+                log.warning(
+                    "--group_size %d does not divide the %d devices; "
+                    "using one group", group_size, n_dev,
+                )
+                group_size = None
+            return group_size
+
         if args.multiscale:
             from ss25_hierarchical_multiscale_image_classification_tpu.infer.multiscale import (
                 predict_and_export_multiscale,
+                predict_slide_multiscale,
             )
 
-            if args.group_size:
-                log.warning(
-                    "--group_size is ignored with --multiscale; slides "
-                    "run sequentially"
-                )
             ms_levels = tuple(int(v) for v in args.levels.split(","))
             variables = load_model(
                 os.path.join(cfg.models_dir, "hierarchical_classifier")
             )
-            targets = (
-                sorted(
+            ms_kw = {}
+            if args.batch_size:
+                ms_kw["batch_size"] = args.batch_size
+            if args.stride:
+                ms_kw["stride"] = args.stride
+            if args.int8:
+                from ss25_hierarchical_multiscale_image_classification_tpu.models.quant_artifact import (
+                    TRUNK_ARTIFACT,
+                    maybe_load_artifact,
+                )
+
+                ms_kw["qtree"] = maybe_load_artifact(
+                    cfg.models_dir, TRUNK_ARTIFACT
+                )
+            if os.path.isdir(args.predict_slide):
+                # multiscale fleet: one slide per chip group, the
+                # hierarchical producer meshed within each group
+                from ss25_hierarchical_multiscale_image_classification_tpu.infer.fleet import (
+                    predict_slide_fleet,
+                )
+
+                paths = sorted(
                     os.path.join(args.predict_slide, f)
                     for f in os.listdir(args.predict_slide)
                     if f.endswith((".tif", ".tiff", ".wsi.npz"))
                 )
-                if os.path.isdir(args.predict_slide)
-                else [args.predict_slide]
-            )
-            for path in targets:
-                prob_grid, _csv = predict_and_export_multiscale(
-                    path, variables, csv_dir, levels=ms_levels,
-                    int8=args.int8,
-                    **(
-                        {"batch_size": args.batch_size}
-                        if args.batch_size else {}
-                    ),
-                    **({"stride": args.stride} if args.stride else {}),
+                if not paths:
+                    log.error("No slides in %s", args.predict_slide)
+                    return 1
+
+                def _ms_predict(path, variables, *, mesh, **kw):
+                    return predict_slide_multiscale(
+                        path, variables, levels=ms_levels, mesh=mesh, **kw
+                    )
+
+                grids = predict_slide_fleet(
+                    paths, variables, csv_dir,
+                    group_size=_checked_group_size(),
+                    predict_fn=_ms_predict, int8=args.int8, **ms_kw,
                 )
-                if args.overlay:
-                    out = os.path.join(
-                        cfg.models_dir, "overlays",
-                        os.path.basename(path) + ".overlay.png",
-                    )
-                    render_overlay(
-                        path, prob_grid, save_path=out,
-                        predict_level=max(ms_levels), stride=args.stride,
-                    )
-                    log.info("Overlay saved: %s", out)
+                overlay_targets = grids.items() if args.overlay else ()
+            else:
+                prob_grid, _csv = predict_and_export_multiscale(
+                    args.predict_slide, variables, csv_dir,
+                    levels=ms_levels, int8=args.int8, mesh=_full_mesh(),
+                    **ms_kw,
+                )
+                overlay_targets = (
+                    [(args.predict_slide, prob_grid)] if args.overlay else ()
+                )
+            for path, prob_grid in overlay_targets:
+                out = os.path.join(
+                    cfg.models_dir, "overlays",
+                    os.path.basename(path) + ".overlay.png",
+                )
+                render_overlay(
+                    path, prob_grid, save_path=out,
+                    predict_level=max(ms_levels), stride=args.stride,
+                )
+                log.info("Overlay saved: %s", out)
         elif os.path.isdir(args.predict_slide):
             # fleet mode: every slide in the directory, one per chip group
             from ss25_hierarchical_multiscale_image_classification_tpu.infer.fleet import (
@@ -485,26 +560,24 @@ def main(argv=None) -> int:
             if not paths:
                 log.error("No slides in %s", args.predict_slide)
                 return 1
-            import jax
-
-            group_size = args.group_size
-            n_dev = len(jax.devices())
-            if group_size is not None and (
-                group_size < 1 or n_dev % group_size
-            ):
-                log.warning(
-                    "--group_size %d does not divide the %d devices; "
-                    "using one group", group_size, n_dev,
-                )
-                group_size = None
             predict_kw = {}
             if args.batch_size:
                 predict_kw["batch_size"] = args.batch_size
             if args.stride:
                 predict_kw["stride"] = args.stride
+            if args.int8:
+                from ss25_hierarchical_multiscale_image_classification_tpu.models.quant_artifact import (
+                    CLASSIFIER_ARTIFACT,
+                    maybe_load_artifact,
+                )
+
+                predict_kw["qtree"] = maybe_load_artifact(
+                    cfg.models_dir, CLASSIFIER_ARTIFACT
+                )
             grids = predict_slide_fleet(
                 paths, variables, csv_dir, level=level,
-                group_size=group_size, int8=args.int8, **predict_kw,
+                group_size=_checked_group_size(), int8=args.int8,
+                **predict_kw,
             )
             if args.overlay:
                 for path, prob_grid in grids.items():
@@ -526,9 +599,18 @@ def main(argv=None) -> int:
                 predict_kw["batch_size"] = args.batch_size
             if args.stride:
                 predict_kw["stride"] = args.stride
+            if args.int8:
+                from ss25_hierarchical_multiscale_image_classification_tpu.models.quant_artifact import (
+                    CLASSIFIER_ARTIFACT,
+                    maybe_load_artifact,
+                )
+
+                predict_kw["qtree"] = maybe_load_artifact(
+                    cfg.models_dir, CLASSIFIER_ARTIFACT
+                )
             prob_grid, _csv = predict_and_export(
                 args.predict_slide, variables, csv_dir, level=level,
-                int8=args.int8, **predict_kw,
+                int8=args.int8, mesh=_full_mesh(), **predict_kw,
             )
             if args.overlay:
                 out = os.path.join(

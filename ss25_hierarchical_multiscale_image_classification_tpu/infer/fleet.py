@@ -58,6 +58,7 @@ def predict_slide_fleet(
     group_size: int | None = None,
     threshold: float = 0.5,
     devices=None,
+    predict_fn=None,
     **predict_kw,
 ) -> dict[str, np.ndarray]:
     """Run the full detection producer over many slides concurrently.
@@ -66,6 +67,12 @@ def predict_slide_fleet(
     (one per slide, the FROC consumer's expected layout). ``predict_kw``
     forwards to :func:`predict_slide` (``batch_size``, ``stride``,
     ``int8``, ``model``, ``input_size``, ...).
+
+    ``predict_fn`` swaps the per-slide producer — signature
+    ``(path, variables, mesh=..., **predict_kw) -> (prob_grid, grid)``;
+    the default is the single-level :func:`predict_slide`. The multiscale
+    CLI path passes the hierarchical producer here so fleet × multiscale
+    composes (one slide per chip group, meshed within the group).
     """
     from ss25_hierarchical_multiscale_image_classification_tpu.data.extract import (
         slide_name,
@@ -78,6 +85,10 @@ def predict_slide_fleet(
     from ss25_hierarchical_multiscale_image_classification_tpu.parallel.mesh import (
         make_mesh,
     )
+
+    if predict_fn is None:
+        def predict_fn(path, variables, *, mesh, **kw):
+            return predict_slide(path, variables, level=level, mesh=mesh, **kw)
 
     groups = device_groups(group_size, devices)
     work: queue.Queue[str] = queue.Queue()
@@ -102,8 +113,8 @@ def predict_slide_fleet(
             # "tumor_001") so CSVs match the FROC consumer's mask names
             name = slide_name(os.path.basename(path))
             try:
-                prob_grid, grid = predict_slide(
-                    path, variables, level=level, mesh=mesh, **predict_kw
+                prob_grid, grid = predict_fn(
+                    path, variables, mesh=mesh, **predict_kw
                 )
                 detections = nms_detections(prob_grid, grid, threshold=threshold)
                 write_detection_csv(
