@@ -89,6 +89,7 @@ def run_feature_extraction(
     out: np.ndarray | None = None,
     feature_dim: int = 512,
     int8: bool = False,
+    qtree: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray, list[str]]:
     """Forward every patch through the extractor; returns
     (features (N, 512), labels (N,), patch names).
@@ -112,16 +113,18 @@ def run_feature_extraction(
             quantize_resnet18,
         )
 
-        q = quantize_resnet18(
-            variables, _calibration_batches(dataset, batch_size)
-        )
-        qtree = replicate(mesh, q.tree())
+        if qtree is None:
+            # no persisted artifact: calibrate on the first dataset batches
+            qtree = quantize_resnet18(
+                variables, _calibration_batches(dataset, batch_size)
+            ).tree()
+        qtree = replicate(mesh, qtree)
         qstep = jax.jit(lambda qp, imgs: quant_forward(qp, imgs, with_fc=False))
 
         def step_fn(imgs):
             return qstep(qtree, imgs)
 
-        if int(q.qkernels["stem"].shape[0]) == 4:
+        if int(qtree["qkernels"]["stem"].shape[0]) == 4:
             # s2d stem: have the host gather emit the space-to-depth batch
             # layout directly (same bytes moved), skipping the on-device
             # transpose — measured 44.5k → 46.6k patches/s/chip.
@@ -243,9 +246,18 @@ def extract_features(
             "batch_stats": dict(variables.get("batch_stats", {})),
         }
     )
+    qtree = None
+    if int8:
+        from ss25_hierarchical_multiscale_image_classification_tpu.models.quant_artifact import (
+            CLASSIFIER_ARTIFACT,
+            maybe_load_artifact,
+        )
+
+        qtree = maybe_load_artifact(cfg.models_dir, CLASSIFIER_ARTIFACT)
     out = _features_memmap(cfg.data.features_dir, level, len(dataset))
     feats, labels, names = run_feature_extraction(
-        dataset, trunk, batch_size or cfg.train.batch_size, out=out, int8=int8
+        dataset, trunk, batch_size or cfg.train.batch_size, out=out,
+        int8=int8, qtree=qtree,
     )
     _save_artifacts(cfg.data.features_dir, level, feats, labels, names)
     return feats

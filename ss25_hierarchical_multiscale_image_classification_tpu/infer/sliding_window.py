@@ -170,6 +170,7 @@ def predict_slide(
     mesh=None,
     int8: bool = False,
     warmup: bool = False,
+    qtree: dict | None = None,
 ) -> tuple[np.ndarray, PatchGrid]:
     """Tumor probability per grid cell.
 
@@ -177,8 +178,11 @@ def predict_slide(
     cells are 0. With a ``mesh``, each batch is sharded across the data axis
     — the slide's patch grid is spatially data-parallel over ICI (the
     multi-chip path behind the <60 s full-slide target; SURVEY.md §5).
-    ``int8=True`` quantizes the classifier (w8a8, calibrated on this slide's
-    first tissue batch) and runs the MXU int8 path.
+    ``int8=True`` quantizes the classifier and runs the MXU int8 path:
+    with a ``qtree`` (a persisted ``models/quant_artifact.py`` tree,
+    calibrated once on training tissue) outputs are deterministic across
+    batch sizes and slides; without one, scales calibrate lazily on this
+    slide's first tissue batch.
     """
     slide = (
         open_slide(slide_or_path) if isinstance(slide_or_path, str) else slide_or_path
@@ -220,6 +224,11 @@ def predict_slide(
         else:
             def _put(x):
                 return x
+
+        if int8 and qtree is not None:
+            # persisted artifact (calibrated once on training tissue):
+            # deterministic scales, no lazy per-slide calibration
+            qstate["tree"] = qtree if mesh is None else replicate(mesh, qtree)
 
         def run_batch(imgs_u8: np.ndarray):
             """Dispatch one device batch; returns the (async) device array."""
