@@ -91,6 +91,17 @@ def build_parser() -> argparse.ArgumentParser:
                              "cell from all --levels magnifications at "
                              "once via the hierarchical fusion classifier "
                              "(requires a --train_multiscale artifact)")
+    parser.add_argument("--ms_combine", type=str, default="auto",
+                        choices=["auto", "ensemble", "fusion", "aux"],
+                        help="With --predict_slide --multiscale: which"
+                             " probability surface to report (auto = the"
+                             " artifact's calibrated ensemble; aux = the"
+                             " per-level-probability ensemble baseline)")
+    parser.add_argument("--ms_components", action="store_true",
+                        help="With --predict_slide --multiscale: also write"
+                             " detection CSVs for the fusion-only and"
+                             " per-level-aux surfaces (one inference pass;"
+                             " dirs model_predictions_csv_{fusion,aux})")
     parser.add_argument("--stride", type=int, default=None,
                         help="Patch-grid stride in level pixels (default: "
                              "patch size, i.e. non-overlapping). Applies to "
@@ -146,6 +157,11 @@ def build_parser() -> argparse.ArgumentParser:
                              " activation scales (models/quantized.py)."
                              " Uses the persisted --quantize artifact when"
                              " present; falls back to lazy calibration")
+    parser.add_argument("--qat", action="store_true",
+                        help="Quantization-aware fine-tune of the trained"
+                             " classifier (fake-quant int8 graph, STE"
+                             " gradients); persists the resulting int8"
+                             " artifact for --int8 inference")
     parser.add_argument("--quantize", action="store_true",
                         help="Calibrate int8 scales ONCE on training tissue"
                              " and persist the quantized model artifact"
@@ -405,6 +421,17 @@ def main(argv=None) -> int:
         levels = tuple(int(v) for v in args.levels.split(","))
         train_multiscale_classifier(cfg, levels=levels, epochs=args.epochs)
 
+    if args.qat:
+        from ss25_hierarchical_multiscale_image_classification_tpu.train.qat import (
+            qat_finetune,
+        )
+
+        level = int(args.patch_level) if args.patch_level != "all" else 3
+        qat_finetune(
+            cfg, level=level, epochs=args.epochs,
+            batch_size=args.batch_size,
+        )
+
     if args.quantize:
         from ss25_hierarchical_multiscale_image_classification_tpu.models.quant_artifact import (
             quantize_classifier_to_artifact,
@@ -513,10 +540,34 @@ def main(argv=None) -> int:
                     log.error("No slides in %s", args.predict_slide)
                     return 1
 
-                def _ms_predict(path, variables, *, mesh, **kw):
-                    return predict_slide_multiscale(
-                        path, variables, levels=ms_levels, mesh=mesh, **kw
+                if args.ms_components:
+                    from ss25_hierarchical_multiscale_image_classification_tpu.data.extract import (
+                        slide_name,
                     )
+                    from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
+                        nms_detections,
+                        write_detection_csv,
+                    )
+
+                    def _ms_predict(path, variables, *, mesh, **kw):
+                        probs, grid, comps = predict_slide_multiscale(
+                            path, variables, levels=ms_levels, mesh=mesh,
+                            combine=args.ms_combine,
+                            return_components=True, **kw,
+                        )
+                        name = slide_name(os.path.basename(path))
+                        for comp in ("fusion", "aux"):
+                            det = nms_detections(comps[comp], grid)
+                            write_detection_csv(
+                                f"{csv_dir}_{comp}/{name}.csv", det
+                            )
+                        return probs, grid
+                else:
+                    def _ms_predict(path, variables, *, mesh, **kw):
+                        return predict_slide_multiscale(
+                            path, variables, levels=ms_levels, mesh=mesh,
+                            combine=args.ms_combine, **kw,
+                        )
 
                 grids = predict_slide_fleet(
                     paths, variables, csv_dir,
@@ -528,7 +579,7 @@ def main(argv=None) -> int:
                 prob_grid, _csv = predict_and_export_multiscale(
                     args.predict_slide, variables, csv_dir,
                     levels=ms_levels, int8=args.int8, mesh=_full_mesh(),
-                    **ms_kw,
+                    combine=args.ms_combine, **ms_kw,
                 )
                 overlay_targets = (
                     [(args.predict_slide, prob_grid)] if args.overlay else ()

@@ -411,10 +411,23 @@ def quantize_resnet18(
     Bit-exact vs the direct 7×7/2 conv; default (``None``) auto-enables
     it whenever the preconditions hold (measured +7% end-to-end on v5e).
     """
+    return quantize_folded(
+        fold_batchnorm(variables), calib_batches,
+        fold_stem_normalize=fold_stem_normalize, stem_s2d=stem_s2d,
+    )
+
+
+def quantize_folded(
+    folded: dict, calib_batches, fold_stem_normalize: bool = True,
+    stem_s2d: bool | None = None,
+) -> QuantizedResNet18:
+    """Quantize an already BN-folded ``{name: (kernel, bias)}`` tree —
+    the entry point for QAT-tuned folded weights (``train/qat.py``),
+    where there is no BN form to fold from."""
     # materialize once: calibrate() consumes the iterable, and the hw probe
     # below must see the same batches (a generator would be empty by then)
     calib_batches = list(calib_batches)
-    folded = fold_batchnorm(variables)
+    folded = {k: (np.asarray(v[0]), np.asarray(v[1])) for k, v in folded.items()}
     ascales = calibrate(folded, calib_batches)
     bias_map = None
     if fold_stem_normalize:
