@@ -139,8 +139,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/hipac_froc")
     ap.add_argument("--keep", action="store_true")
-    ap.add_argument("--int8", action="store_true")
     ap.add_argument("--skip_multiscale", action="store_true")
+    ap.add_argument("--skip_int8", action="store_true")
+    ap.add_argument("--skip_mining", action="store_true")
+    ap.add_argument("--out", default=None,
+                    help="report path (default docs/proofs/froc_e2e_report.json)")
     a = ap.parse_args()
 
     if os.path.exists(a.root) and not a.keep:
@@ -153,97 +156,149 @@ def main() -> None:
         shutil.rmtree(os.path.join(a.root, sub), ignore_errors=True)
 
     fabricate(a.root)
-    # overlapping extraction (stride = patch/2) densifies the tiny
-    # 4x3-cells-per-slide training set
-    t_patch = cli(["--patch", "--patch_level", "3", "--stride", "112"],
-                  a.root, models)
-    print(f"[patch] {t_patch:.1f}s")
-    t_train = cli(
-        ["--train", "--patch_level", "3", "--epochs", "10",
-         "--batch_size", "32"], a.root, models,
-    )
-    print(f"[train] {t_train:.1f}s")
 
-    # THE one command: fleet producer over all 48 test slides + official
-    # FROC evaluation of the resulting CSVs, in a single CLI invocation.
-    # stride 56 at level 3 = a 448-px detection raster at level 0 — cell
-    # centers sample densely enough for the point-in-region hit test of
-    # the official algorithm (the reference's own heatmaps are strided).
-    one_cmd = ["--predict_slide", os.path.join(a.root, "test", "img"),
-               "--run_evaluation", "--patch_level", "3",
-               "--stride", "56", "--batch_size", "128"]
-    if a.int8:
-        one_cmd.append("--int8")
-    t_eval = cli(one_cmd, a.root, models)
-    print(f"[predict+froc] {t_eval:.1f}s")
-
-    # Re-read the consumer result to record the score (same call the CLI
-    # just made; cheap — masks and CSVs are small).
     from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.froc import (
         run_froc_evaluation,
     )
 
-    def froc():
-        return run_froc_evaluation(
-            os.path.join(models, "model_predictions_csv"),
+    def froc(csv_subdir="model_predictions_csv"):
+        r = run_froc_evaluation(
+            os.path.join(models, csv_subdir),
             os.path.join(a.root, "test", "mask"),
         )
+        return {
+            "froc_score": round(float(r["score"]), 4),
+            "sensitivity_max": round(float(np.max(r["sensitivity"])), 4)
+            if len(r["sensitivity"]) else None,
+            "n_slides": len(r["names"]),
+        }
 
-    result = froc()
+    report: dict = {
+        "metric": "froc_e2e_48_slide_test_set",
+        "n_tumor_slides": N_TEST_TUMOR + N_TEST_ITC,
+        "seconds_fabricate_excluded": True,
+        "note": "48 synthetic slides (22 macro tumor / 2 ITC / 24 normal), "
+                "6-level pyramids, official constants at eval level 5; "
+                "producer=fleet sliding window, consumer=official FROC. "
+                "All phases run through the CLI on the same test set: "
+                "float → int8 (persisted --quantize artifact) → calibrated "
+                "multiscale ensemble (+fusion/aux components from the same "
+                "pass) → int8 multiscale → hard-negative mining retrain.",
+    }
+    out_path = a.out or os.path.join(
+        REPO, "docs", "proofs", "froc_e2e_report.json"
+    )
 
-    ms = None
-    if not a.skip_multiscale:
-        # Phase 2 — the namesake model: co-located level-(2,3) extraction
-        # (stride 224 at level 2 aligns with stride 112 at level 3: both
-        # are 896 level-0 px), fusion training, multiscale fleet producer,
-        # FROC again on the SAME test set for a direct comparison.
-        cli(["--patch", "--patch_level", "2", "--stride", "224"],
+    def checkpoint():
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=2)
+        print(json.dumps(report))
+
+    # ---- phase 1: extraction (both levels; strides align at 896 L0 px) --
+    t = cli(["--patch", "--patch_level", "3", "--stride", "112"],
             a.root, models)
+    t += cli(["--patch", "--patch_level", "2", "--stride", "224"],
+             a.root, models)
+    report["seconds_patch"] = round(t, 1)
+    print(f"[patch] {t:.1f}s")
+
+    # ---- phase 2: float training + detection + FROC --------------------
+    t_train = cli(
+        ["--train", "--patch_level", "3", "--epochs", "10",
+         "--batch_size", "32"], a.root, models,
+    )
+    report["seconds_train"] = round(t_train, 1)
+    print(f"[train] {t_train:.1f}s")
+
+    # THE one command: fleet producer over all 48 test slides + official
+    # FROC evaluation in a single CLI invocation. stride 56 at level 3 =
+    # a 448-px detection raster at level 0.
+    one_cmd = ["--predict_slide", os.path.join(a.root, "test", "img"),
+               "--run_evaluation", "--patch_level", "3",
+               "--stride", "56", "--batch_size", "128"]
+    t_eval = cli(one_cmd, a.root, models)
+    report["float"] = {**froc(),
+                       "seconds_predict_plus_froc_one_command":
+                       round(t_eval, 1)}
+    print(f"[float predict+froc] {t_eval:.1f}s → {report['float']}")
+    checkpoint()
+
+    # ---- phase 3: int8 with the persisted quantization artifact --------
+    if not a.skip_int8:
+        t_q = cli(["--quantize", "--patch_level", "3"], a.root, models)
+        t_eval = cli(one_cmd + ["--int8"], a.root, models)
+        report["int8"] = {**froc(), "seconds_quantize": round(t_q, 1),
+                          "seconds_predict_plus_froc_one_command":
+                          round(t_eval, 1),
+                          "persisted_artifact": True}
+        print(f"[int8 predict+froc] {t_eval:.1f}s → {report['int8']}")
+        checkpoint()
+
+    # ---- phase 4: the namesake — calibrated multiscale fusion ----------
+    if not a.skip_multiscale:
         t_ms_train = cli(
             ["--train_multiscale", "--levels", "2,3", "--epochs", "10",
              "--batch_size", "32"], a.root, models,
         )
         print(f"[train_multiscale] {t_ms_train:.1f}s")
+        # one pass writes the calibrated-ensemble CSVs (the CLI default)
+        # plus the fusion-only and per-level-aux component CSVs
         t_ms_eval = cli(
             ["--predict_slide", os.path.join(a.root, "test", "img"),
              "--multiscale", "--levels", "2,3", "--run_evaluation",
-             "--stride", "56", "--batch_size", "64"], a.root, models,
+             "--ms_components", "--stride", "56", "--batch_size", "64"],
+            a.root, models,
         )
-        print(f"[multiscale predict+froc] {t_ms_eval:.1f}s")
-        r = froc()
-        ms = {
-            "froc_score": round(float(r["score"]), 4),
-            "sensitivity_max": round(float(np.max(r["sensitivity"])), 4)
-            if len(r["sensitivity"]) else None,
+        report["multiscale"] = {
+            **froc(),
+            "fusion_only": froc("model_predictions_csv_fusion"),
+            "aux_per_level_ensemble": froc("model_predictions_csv_aux"),
             "seconds_train": round(t_ms_train, 1),
             "seconds_predict_plus_froc_one_command": round(t_ms_eval, 1),
         }
+        print(f"[multiscale predict+froc] {t_ms_eval:.1f}s → "
+              f"{report['multiscale']}")
+        checkpoint()
 
-    n_csv = len(result["names"])
-    report = {
-        "metric": "froc_e2e_48_slide_test_set",
-        "n_slides": n_csv,
-        "n_tumor_slides": N_TEST_TUMOR + N_TEST_ITC,
-        "froc_score": round(float(result["score"]), 4),
-        "sensitivity_max": round(float(np.max(result["sensitivity"])), 4)
-        if len(result["sensitivity"]) else None,
-        "seconds_fabricate_excluded": True,
-        "seconds_patch": round(t_patch, 1),
-        "seconds_train": round(t_train, 1),
-        "seconds_predict_plus_froc_one_command": round(t_eval, 1),
-        "int8": a.int8,
-        "multiscale": ms,
-        "note": "48 synthetic slides (22 macro tumor / 2 ITC / 24 normal), "
-                "6-level pyramids, official constants at eval level 5; "
-                "producer=fleet sliding window, consumer=official FROC; "
-                "'multiscale' = same test set through the hierarchical "
-                "fusion classifier (--predict_slide --multiscale)",
-    }
-    out = os.path.join(REPO, "docs", "proofs", "froc_e2e_report.json")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    with open(out, "w") as f:
-        json.dump(report, f, indent=2)
-    print(json.dumps(report))
+        if not a.skip_int8:
+            t_q = cli(["--quantize", "--multiscale", "--levels", "2,3"],
+                      a.root, models)
+            t_eval = cli(
+                ["--predict_slide", os.path.join(a.root, "test", "img"),
+                 "--multiscale", "--levels", "2,3", "--run_evaluation",
+                 "--int8", "--stride", "56", "--batch_size", "64"],
+                a.root, models,
+            )
+            report["multiscale_int8"] = {
+                **froc(), "seconds_quantize": round(t_q, 1),
+                "seconds_predict_plus_froc_one_command": round(t_eval, 1),
+                "persisted_artifact": True,
+            }
+            print(f"[multiscale int8] {t_eval:.1f}s → "
+                  f"{report['multiscale_int8']}")
+            checkpoint()
+
+    # ---- phase 5: hard-negative mining outcome -------------------------
+    if not a.skip_mining:
+        t_mine = cli(["--mine_hard_negatives", "--patch_level", "3"],
+                     a.root, models)
+        t_retrain = cli(
+            ["--train", "--patch_level", "3", "--epochs", "10",
+             "--batch_size", "32"], a.root, models,
+        )
+        t_eval = cli(one_cmd, a.root, models)
+        report["after_hard_negative_mining"] = {
+            **froc(),
+            "baseline_froc_score": report["float"]["froc_score"],
+            "seconds_mine": round(t_mine, 1),
+            "seconds_retrain": round(t_retrain, 1),
+            "seconds_predict_plus_froc_one_command": round(t_eval, 1),
+        }
+        print(f"[mining predict+froc] {t_eval:.1f}s → "
+              f"{report['after_hard_negative_mining']}")
+
+    checkpoint()
 
 
 if __name__ == "__main__":
