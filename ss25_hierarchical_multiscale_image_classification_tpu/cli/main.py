@@ -262,7 +262,41 @@ def main(argv=None) -> int:
 
         move_files_up(cfg.data.patch_level_dir(3))
 
-    if args.patch:
+    streamed_train = False
+    if args.patch and args.train:
+        # combined invocation: extraction STREAMS into training (epoch 0
+        # trains on slides as they extract, bounded RSS; epochs 1+ are the
+        # exact store-based path) — train/streaming.py
+        if not images_downloaded(cfg.data):
+            log.error("Images must be downloaded before extracting patches.")
+            return 1
+        from ss25_hierarchical_multiscale_image_classification_tpu.data.extract import (
+            extract_patches,
+        )
+        from ss25_hierarchical_multiscale_image_classification_tpu.train.streaming import (
+            train_resnet_classifier_streaming,
+        )
+
+        train_level = 3 if args.patch_level == "all" else int(args.patch_level)
+        for lvl in _levels(args.patch_level):
+            if lvl != train_level:
+                extract_patches(
+                    cfg.data, level=lvl,
+                    store_format=cfg.data.patch_store_format,
+                    impl=args.extract_impl,
+                    stain_norm=args.stain_norm or cfg.data.stain_norm,
+                    stride=args.stride,
+                )
+        log.info("--patch --train: streaming extraction into training")
+        train_resnet_classifier_streaming(
+            cfg, level=train_level, epochs=args.epochs, stride=args.stride,
+            batch_size=args.batch_size,
+            store_format=cfg.data.patch_store_format,
+            extract_impl=args.extract_impl,
+            stain_norm=args.stain_norm or cfg.data.stain_norm,
+        )
+        streamed_train = True
+    elif args.patch:
         if not images_downloaded(cfg.data):
             log.error("Images must be downloaded before extracting patches.")
             return 1
@@ -313,7 +347,7 @@ def main(argv=None) -> int:
 
                 extract_features(cfg, level=level, int8=args.int8)
 
-    if args.train:
+    if args.train and not streamed_train:
         if not images_downloaded(cfg.data):
             log.error("Images must be downloaded before training.")
             return 1

@@ -407,11 +407,16 @@ def extract_patches(
     impl: str = "host",
     band_budget_bytes: int = BAND_BUDGET_BYTES,
     stain_norm: bool = False,
+    on_slide=None,
 ) -> PatchManifest:
     """Extract patches for every slide of a split at one level.
 
     Returns the (cumulative) manifest for the level, persisted to
-    ``patches/level_{L}/manifest.parquet``.
+    ``patches/level_{L}/manifest.parquet``. ``on_slide(name, records)``
+    fires after each slide's store+manifest rows land (already-extracted
+    slides fire with their existing rows) — the streaming-training hook
+    (``train/streaming.py``): consumers can batch a slide's patches while
+    the next slide decodes.
     """
     img_dir = data.train_img_dir if split == "train" else data.test_img_dir
     store_format = store_format or data.patch_store_format
@@ -432,6 +437,8 @@ def extract_patches(
     for name, path in slides:
         if _slide_already_extracted(manifest, data.patches_dir, level, name):
             log.info("Patches for %s already extracted, skipping.", name)
+            if on_slide is not None:
+                on_slide(name, [r for r in manifest if r.slide == name])
             continue
         try:
             with Timer(f"extract[{name} L{level}]", log):
@@ -452,4 +459,6 @@ def extract_patches(
             continue
         manifest.extend(recs)
         manifest.save(mpath)
+        if on_slide is not None:
+            on_slide(name, recs)
     return manifest

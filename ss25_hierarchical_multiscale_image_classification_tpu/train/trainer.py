@@ -303,9 +303,14 @@ def _load_datasets(cfg: Config, level: int):
 
 
 def train_resnet_classifier(
-    cfg: Config, level: int = 3, epochs: int | None = None
+    cfg: Config, level: int = 3, epochs: int | None = None,
+    pretrained_variables: dict | None = None,
 ) -> Trainer:
-    """The default weighted-loss trainer (``src/main.py:472-534``)."""
+    """The default weighted-loss trainer (``src/main.py:472-534``).
+
+    ``pretrained_variables`` overrides the torchvision ImageNet init —
+    the streaming pipeline (``train/streaming.py``) warm-starts here from
+    its extraction-overlapped first epoch."""
     log.info("Training ResNet18 classifier...")
     train_ds, val_ds = _load_datasets(cfg, level)
     weights = class_weights_inv_min(train_ds.labels, cfg.model.num_classes)
@@ -315,7 +320,9 @@ def train_resnet_classifier(
         load_pretrained_resnet18,
     )
 
-    pretrained = load_pretrained_resnet18() if cfg.model.pretrained else None
+    pretrained = pretrained_variables or (
+        load_pretrained_resnet18() if cfg.model.pretrained else None
+    )
     trainer = Trainer(
         ResNet18Classifier(num_classes=cfg.model.num_classes),
         train_ds,

@@ -258,3 +258,37 @@ def test_cli_multiscale_fleet_group_size(synthetic_case, trained_artifacts,
         assert os.path.exists(os.path.join(
             trained_artifacts, "model_predictions_csv", f"{name}.csv"
         ))
+
+
+def test_cli_patch_train_streams(pipeline_case, tmp_path, monkeypatch):
+    """--patch --train in ONE invocation takes the streaming path:
+    extraction overlaps the first epoch (train/streaming.py), the store and
+    model artifacts both land."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.train import (
+        streaming,
+    )
+
+    called = {}
+    orig = streaming.train_resnet_classifier_streaming
+
+    def spy(cfg, **kw):
+        called.update(kw)
+        return orig(cfg, **kw)
+
+    monkeypatch.setattr(
+        streaming, "train_resnet_classifier_streaming", spy
+    )
+    models_dir = str(tmp_path / "models_out")
+    rc = main([
+        "--patch", "--train", "--patch_level", "2", "--epochs", "1",
+        "--batch_size", "8", "--stride", "112",
+        "--data_dir", pipeline_case, "--models_dir", models_dir,
+    ])
+    assert rc == 0
+    assert called.get("level") == 2 and called.get("stride") == 112
+    assert os.path.exists(os.path.join(
+        pipeline_case, "patches", "level_2", "manifest.parquet"
+    ))
+    assert os.path.exists(
+        os.path.join(models_dir, "resnet18_patch_classifier")
+    )
