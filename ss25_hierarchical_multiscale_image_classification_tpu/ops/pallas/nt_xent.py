@@ -2,20 +2,27 @@
 
 The reference computes NT-Xent by materializing the dense (2N, 2N)
 similarity matrix (``src/models/simclr.py:37-53``) — at 2N = 16k that is a
-1 GB f32 intermediate. This kernel keeps only the (2N, D) projections
-resident in VMEM and streams (BR, BC) score blocks through the MXU with an
-online logsumexp (the flash-attention recurrence applied to contrastive
-loss), so peak memory is O(N·D + BR·BC) instead of O(N²):
+1 GB f32 intermediate. This kernel streams (BR, BC) score blocks through
+the MXU with an online logsumexp (the flash-attention recurrence applied
+to contrastive loss), so peak *device* memory for the loss is O(N·D) in
+HBM and only O(BR·D + BC·D + BR·BC) in VMEM:
 
-forward:  per row block R, loop column blocks C:
-          S = Z_R · Z_Cᵀ / τ  (MXU)  → self-mask → online (m, l) update,
-          plus the positive-pair score gathered when its column lands in C.
-          loss_r = −s_pos + m_r + log l_r. Saves (m, l) as residuals.
+forward:  grid (R, C), C fastest. Per (R, C) step Pallas pipelines the
+          Z row-block and Z column-block HBM→VMEM (double-buffered
+          automatically by the grid pipeline — Z is NOT VMEM-resident, so
+          2N is bounded by HBM, not the ~128 MB VMEM ceiling that capped
+          the round-2 kernel at ~30k rows):
+          S = Z_R · Z_Cᵀ / τ  (MXU)  → self-mask → online (m, l) update
+          in VMEM scratch carried across C, plus the positive-pair score
+          gathered when its column lands in C. At the last C:
+          loss_r = −s_pos + m_r + log l_r; saves (m, l) as residuals.
 
-backward: dL/dZ = (A + Aᵀ) Z / τ with A[r,c] = g_r·(p_rc − 1{c=pos_r}),
-          p_rc = exp(s_rc − m_r)/l_r. Score blocks are recomputed; the
-          symmetric term uses the *column* rows' saved (m, l, g), so the
-          whole backward is one more streamed pass — no dense matrix.
+backward: same grid; dL/dZ = (A + Aᵀ) Z / τ with
+          A[r,c] = g_r·(p_rc − 1{c=pos_r}), p_rc = exp(s_rc − m_r)/l_r.
+          Score blocks are recomputed; the symmetric term uses the
+          *column* rows' saved (m, l, g), so the whole backward is one
+          more streamed pass — no dense matrix; dZ accumulates in VMEM
+          scratch and writes at the last C.
 
 Layout notes (TPU/Mosaic wants rank≥2 vectors): per-row scalars (pos_idx,
 m, l, g, loss) travel as (2N, 1) column vectors and all in-kernel reductions
@@ -53,86 +60,93 @@ def _row_ids_col(row0, block_r):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(z_ref, pos_ref, pos_row_ref, loss_ref, m_ref, l_ref, *,
-                block_c, n_total, temperature):
-    r = pl.program_id(0)
+def _fwd_kernel(z_row_ref, z_col_ref, pos_ref, pos_row_ref,
+                loss_ref, m_out_ref, l_out_ref,
+                m_sc, l_sc, ps_sc, *, num_c, temperature):
+    r, c = pl.program_id(0), pl.program_id(1)
     block_r = loss_ref.shape[0]
+    block_c = z_col_ref.shape[0]
     row0 = r * block_r
+    col0 = c * block_c
 
-    z_rows = z_ref[pl.ds(row0, block_r), :]  # (BR, D)
+    @pl.when(c == 0)
+    def _init():
+        m_sc[...] = jnp.full_like(m_sc, _NEG_INF)
+        l_sc[...] = jnp.zeros_like(l_sc)
+        ps_sc[...] = jnp.zeros_like(ps_sc)
+
+    z_rows = z_row_ref[...]  # (BR, D) — streamed block
+    z_cols = z_col_ref[...]  # (BC, D) — streamed block
     row_ids = _row_ids_col(row0, block_r)  # (BR, 1)
-    pos_idx = pos_ref[pl.ds(row0, block_r), :]  # (BR, 1)
+    pos_idx = pos_ref[...]  # (BR, 1)
+    pos_c = pos_row_ref[...]  # (1, BC)
 
-    num_c = n_total // block_c
-
-    def body(c, carry):
-        m, l, pos_s = carry  # each (BR, 1)
-        col0 = c * block_c
-        z_cols = z_ref[pl.ds(col0, block_c), :]  # (BC, D)
-        pos_c = pos_row_ref[:, pl.ds(col0, block_c)]  # (1, BC)
-        s = (
-            jax.lax.dot_general(
-                z_rows, z_cols,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            / temperature
-        )  # (BR, BC)
-        col_ids = col0 + jax.lax.broadcasted_iota(
-            jnp.int32, (block_r, block_c), 1
+    s = (
+        jax.lax.dot_general(
+            z_rows, z_cols,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        # mask self-similarity AND dead columns (pos_idx < 0): those are
-        # either tail alignment padding (zero vectors whose exp(0/tau - m)
-        # would inflate every real row's logsumexp denominator) or rows the
-        # caller invalidated (e.g. a wrap-padded final batch).
-        s = jnp.where((col_ids == row_ids) | (pos_c < 0), _NEG_INF, s)
+        / temperature
+    )  # (BR, BC)
+    col_ids = col0 + jax.lax.broadcasted_iota(
+        jnp.int32, (block_r, block_c), 1
+    )
+    # mask self-similarity AND dead columns (pos_idx < 0): those are
+    # either tail alignment padding (zero vectors whose exp(0/tau - m)
+    # would inflate every real row's logsumexp denominator) or rows the
+    # caller invalidated (e.g. a wrap-padded final batch).
+    s = jnp.where((col_ids == row_ids) | (pos_c < 0), _NEG_INF, s)
 
-        # positive score if its column lands in this block
-        hit = col_ids == pos_idx
-        pos_s = pos_s + jnp.sum(jnp.where(hit, s, 0.0), axis=1, keepdims=True)
+    # positive score if its column lands in this block
+    hit = col_ids == pos_idx
+    ps_sc[...] += jnp.sum(jnp.where(hit, s, 0.0), axis=1, keepdims=True)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        l = l * jnp.exp(m - m_new) + jnp.sum(
-            jnp.exp(s - m_new), axis=1, keepdims=True
+    m = m_sc[...]
+    m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+    l_sc[...] = l_sc[...] * jnp.exp(m - m_new) + jnp.sum(
+        jnp.exp(s - m_new), axis=1, keepdims=True
+    )
+    m_sc[...] = m_new
+
+    @pl.when(c == num_c - 1)
+    def _finish():
+        valid = pos_idx >= 0
+        m_f, l_f = m_sc[...], l_sc[...]
+        loss_ref[...] = jnp.where(
+            valid, -ps_sc[...] + m_f + jnp.log(l_f), 0.0
         )
-        return m_new, l, pos_s
-
-    m0 = jnp.full((block_r, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_r, 1), jnp.float32)
-    p0 = jnp.zeros((block_r, 1), jnp.float32)
-    m, l, pos_s = jax.lax.fori_loop(0, num_c, body, (m0, l0, p0))
-
-    valid = pos_idx >= 0
-    loss_ref[...] = jnp.where(valid, -pos_s + m + jnp.log(l), 0.0)
-    m_ref[...] = m
-    l_ref[...] = l
+        m_out_ref[...] = m_f
+        l_out_ref[...] = l_f
 
 
 def _run_fwd(z, pos_idx, temperature, block_r, block_c):
-    n = z.shape[0]
-    grid = (n // block_r,)
+    n, d = z.shape
+    num_c = n // block_c
+    grid = (n // block_r, num_c)
     out_shapes = (
         jax.ShapeDtypeStruct((n, 1), jnp.float32),  # loss rows
         jax.ShapeDtypeStruct((n, 1), jnp.float32),  # m
         jax.ShapeDtypeStruct((n, 1), jnp.float32),  # l
     )
     kernel = functools.partial(
-        _fwd_kernel, block_c=block_c, n_total=n, temperature=temperature
+        _fwd_kernel, num_c=num_c, temperature=temperature
     )
-    row_spec = pl.BlockSpec((block_r, 1), lambda r: (r, 0),
-                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((block_r, 1), lambda r, c: (r, 0))
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # z (n, D) resident
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # pos (n, 1)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # pos row layout (1, n)
+            pl.BlockSpec((block_r, d), lambda r, c: (r, 0)),  # Z row block
+            pl.BlockSpec((block_c, d), lambda r, c: (c, 0)),  # Z col block
+            pl.BlockSpec((block_r, 1), lambda r, c: (r, 0)),  # pos (col vec)
+            pl.BlockSpec((1, block_c), lambda r, c: (0, c)),  # pos (row vec)
         ],
         out_specs=(row_spec, row_spec, row_spec),
         out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((block_r, 1), jnp.float32)] * 3,
         interpret=_interpret(),
-    )(z, pos_idx, pos_idx.reshape(1, n))
+    )(z, z, pos_idx, pos_idx.reshape(1, n))
 
 
 # ---------------------------------------------------------------------------
@@ -140,68 +154,70 @@ def _run_fwd(z, pos_idx, temperature, block_r, block_c):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(z_ref, pos_ref, m_ref, l_ref, g_ref,
+def _bwd_kernel(z_row_ref, z_col_ref, pos_ref, m_ref, l_ref, g_ref,
                 pos_row_ref, m_row_ref, l_row_ref, g_row_ref,
-                dz_ref, *, block_c, n_total, temperature):
-    r = pl.program_id(0)
+                dz_ref, acc_sc, *, num_c, temperature):
+    r, c = pl.program_id(0), pl.program_id(1)
     block_r = dz_ref.shape[0]
+    block_c = z_col_ref.shape[0]
     row0 = r * block_r
+    col0 = c * block_c
 
-    z_rows = z_ref[pl.ds(row0, block_r), :]
+    @pl.when(c == 0)
+    def _init():
+        acc_sc[...] = jnp.zeros_like(acc_sc)
+
+    z_rows = z_row_ref[...]
+    z_cols = z_col_ref[...]
     row_ids = _row_ids_col(row0, block_r)  # (BR, 1)
-    pos_r = pos_ref[pl.ds(row0, block_r), :]  # (BR, 1)
-    m_r = m_ref[pl.ds(row0, block_r), :]
-    l_r = l_ref[pl.ds(row0, block_r), :]
-    g_r = g_ref[pl.ds(row0, block_r), :]  # upstream grad (0 for padding)
+    pos_r = pos_ref[...]  # (BR, 1)
+    m_r = m_ref[...]
+    l_r = l_ref[...]
+    g_r = g_ref[...]  # upstream grad (0 for padding)
+    # column-side vectors pre-transposed on host → direct (1, BC) loads
+    pos_c = pos_row_ref[...]
+    m_c = m_row_ref[...]
+    l_c = l_row_ref[...]
+    g_c = g_row_ref[...]
 
-    num_c = n_total // block_c
-
-    def body(c, dz):
-        col0 = c * block_c
-        z_cols = z_ref[pl.ds(col0, block_c), :]
-        # column-side vectors pre-transposed on host → direct (1, BC) loads
-        pos_c = pos_row_ref[:, pl.ds(col0, block_c)]
-        m_c = m_row_ref[:, pl.ds(col0, block_c)]
-        l_c = l_row_ref[:, pl.ds(col0, block_c)]
-        g_c = g_row_ref[:, pl.ds(col0, block_c)]
-
-        s = (
-            jax.lax.dot_general(
-                z_rows, z_cols,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            / temperature
+    s = (
+        jax.lax.dot_general(
+            z_rows, z_cols,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        col_ids = col0 + jax.lax.broadcasted_iota(
-            jnp.int32, (block_r, block_c), 1
-        )
-        # exclude self-similarity plus dead rows/columns (pos_idx < 0),
-        # mirroring the forward mask
-        dead = (col_ids == row_ids) | (pos_c < 0) | (pos_r < 0)
+        / temperature
+    )
+    col_ids = col0 + jax.lax.broadcasted_iota(
+        jnp.int32, (block_r, block_c), 1
+    )
+    # exclude self-similarity plus dead rows/columns (pos_idx < 0),
+    # mirroring the forward mask
+    dead = (col_ids == row_ids) | (pos_c < 0) | (pos_r < 0)
 
-        # row term: A[r, c] = g_r (p_rc - 1{c=pos_r})
-        p_rc = jnp.where(dead, 0.0, jnp.exp(s - m_r) / l_r)
-        a_rc = g_r * (p_rc - (col_ids == pos_r).astype(jnp.float32))
-        # column term: A[c, r] = g_c (p_cr - 1{r=pos_c}); s_cr = s_rc (sym)
-        p_cr = jnp.where(dead, 0.0, jnp.exp(s - m_c) / l_c)
-        a_cr = g_c * (p_cr - (row_ids == pos_c).astype(jnp.float32))
+    # row term: A[r, c] = g_r (p_rc - 1{c=pos_r})
+    p_rc = jnp.where(dead, 0.0, jnp.exp(s - m_r) / l_r)
+    a_rc = g_r * (p_rc - (col_ids == pos_r).astype(jnp.float32))
+    # column term: A[c, r] = g_c (p_cr - 1{r=pos_c}); s_cr = s_rc (sym)
+    p_cr = jnp.where(dead, 0.0, jnp.exp(s - m_c) / l_c)
+    a_cr = g_c * (p_cr - (row_ids == pos_c).astype(jnp.float32))
 
-        coeff = a_rc + a_cr  # (BR, BC)
-        dz = dz + jnp.dot(
-            coeff, z_cols, preferred_element_type=jnp.float32
-        ) / temperature
-        return dz
+    coeff = a_rc + a_cr  # (BR, BC)
+    acc_sc[...] += jnp.dot(
+        coeff, z_cols, preferred_element_type=jnp.float32
+    ) / temperature
 
-    dz0 = jnp.zeros((block_r, z_rows.shape[1]), jnp.float32)
-    dz_ref[...] = jax.lax.fori_loop(0, num_c, body, dz0)
+    @pl.when(c == num_c - 1)
+    def _finish():
+        dz_ref[...] = acc_sc[...]
 
 
 def _run_bwd(z, pos_idx, m, l, g_rows, temperature, block_r, block_c):
     n, d = z.shape
-    grid = (n // block_r,)
+    num_c = n // block_c
+    grid = (n // block_r, num_c)
     kernel = functools.partial(
-        _bwd_kernel, block_c=block_c, n_total=n, temperature=temperature
+        _bwd_kernel, num_c=num_c, temperature=temperature
     )
     # row-layout copies of the per-row vectors (host-side transpose is free
     # relative to an in-kernel relayout)
@@ -209,15 +225,28 @@ def _run_bwd(z, pos_idx, m, l, g_rows, temperature, block_r, block_c):
     m_row = m.reshape(1, n)
     l_row = l.reshape(1, n)
     g_row = g_rows.reshape(1, n)
+    col_vec = pl.BlockSpec((block_r, 1), lambda r, c: (r, 0))
+    row_vec = pl.BlockSpec((1, block_c), lambda r, c: (0, c))
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
-        out_specs=pl.BlockSpec((block_r, d), lambda r: (r, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[
+            pl.BlockSpec((block_r, d), lambda r, c: (r, 0)),  # Z row block
+            pl.BlockSpec((block_c, d), lambda r, c: (c, 0)),  # Z col block
+            col_vec,  # pos
+            col_vec,  # m
+            col_vec,  # l
+            col_vec,  # g
+            row_vec,  # pos (row layout)
+            row_vec,  # m
+            row_vec,  # l
+            row_vec,  # g
+        ],
+        out_specs=pl.BlockSpec((block_r, d), lambda r, c: (r, 0)),
         out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_r, d), jnp.float32)],
         interpret=_interpret(),
-    )(z, pos_idx, m, l, g_rows, pos_row, m_row, l_row, g_row)
+    )(z, z, pos_idx, m, l, g_rows, pos_row, m_row, l_row, g_row)
 
 
 # ---------------------------------------------------------------------------
