@@ -1,0 +1,101 @@
+"""Real-data readiness runbook (scripts/real_data_runbook.py): the plan is
+correct and every stage's argv parses against the real CLI — the hermetic
+half of a chain whose data half needs real slides."""
+
+import importlib.util
+import os
+import sys
+import types
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def runbook():
+    spec = importlib.util.spec_from_file_location(
+        "real_data_runbook",
+        os.path.join(REPO, "scripts", "real_data_runbook.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _args(runbook, **kw):
+    defaults = dict(
+        data_dir="/data/camelyon16", models_dir="out",
+        pth=runbook.TORCH_HUB_PTH, remote=False, dry_run=True,
+        until="froc",
+    )
+    defaults.update(kw)
+    return types.SimpleNamespace(**defaults)
+
+
+def test_plan_covers_full_chain_in_order(runbook):
+    plan = runbook.build_plan(_args(runbook))
+    stages = [s for s, _ in plan]
+    # verify + prep before extraction, train before features, FROC last
+    assert stages[0] == "download" and stages[-1] == "froc"
+    for earlier, later in [("download", "patch"), ("prep", "patch"),
+                           ("patch", "train"), ("train", "features"),
+                           ("features", "validate"), ("train", "froc")]:
+        assert max(i for i, s in enumerate(stages) if s == earlier) < min(
+            i for i, s in enumerate(stages) if s == later
+        )
+
+
+def test_plan_until_truncates(runbook):
+    plan = runbook.build_plan(_args(runbook, until="train"))
+    stages = {s for s, _ in plan}
+    assert "train" in stages and "features" not in stages
+    assert "froc" not in stages
+
+
+def test_remote_flag_propagates(runbook):
+    plan = runbook.build_plan(_args(runbook, remote=True))
+    dl = next(argv for s, argv in plan if "--download" in argv)
+    assert "--remote" in dl
+    plan = runbook.build_plan(_args(runbook, remote=False))
+    dl = next(argv for s, argv in plan if "--download" in argv)
+    assert "--remote" not in dl
+
+
+def test_every_stage_argv_parses_against_the_cli(runbook):
+    """The runbook must never drift from the CLI flag surface."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.cli.main import (
+        build_parser,
+    )
+
+    parser = build_parser()
+    for _stage, argv in runbook.build_plan(_args(runbook)):
+        parser.parse_args(argv)  # raises on drift
+
+
+def test_pretrained_check_missing_file_message(runbook, tmp_path):
+    with pytest.raises(SystemExit) as e:
+        runbook.check_pretrained(str(tmp_path / "nope.pth"), dry_run=False)
+    assert "resnet18-f37072fd" in str(e.value)
+
+
+def test_pretrained_check_converts_synthetic_pth(runbook, tmp_path):
+    """With a torchvision-layout .pth present, the check converts it (the
+    converter itself is logit-parity-tested in tests/test_torch_interop.py)."""
+    torch = pytest.importorskip("torch")
+    from tests.test_torch_interop import _random_torch_model
+
+    path = str(tmp_path / "resnet18-f37072fd.pth")
+    torch.save(_random_torch_model().state_dict(), path)
+    runbook.check_pretrained(path, dry_run=False)  # must not raise
+
+
+def test_dry_run_main(runbook, capsys, monkeypatch, tmp_path):
+    monkeypatch.setattr(
+        sys, "argv",
+        ["real_data_runbook.py", "--data_dir", str(tmp_path), "--dry_run"],
+    )
+    assert runbook.main() == 0
+    out = capsys.readouterr().out
+    assert "--download" in out and "--run_evaluation" in out
+    assert "would verify weights" in out
