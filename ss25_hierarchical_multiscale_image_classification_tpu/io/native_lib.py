@@ -22,7 +22,11 @@ from ss25_hierarchical_multiscale_image_classification_tpu.logging_utils import 
 log = get_logger("io.native")
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libhipac_native.so")
+# HIPAC_NATIVE_LIB overrides the .so path — the sanitizer harness
+# (scripts/sanitize_native.sh) points it at the TSan/ASan builds
+_LIB_PATH = os.environ.get(
+    "HIPAC_NATIVE_LIB", os.path.join(_NATIVE_DIR, "libhipac_native.so")
+)
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
 _build_failed = False
