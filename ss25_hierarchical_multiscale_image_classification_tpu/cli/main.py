@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "computed on the fly; kept for flag parity)")
     parser.add_argument("--validate", action="store_true",
                         help="Validate extracted patch features (sanity check)")
+    parser.add_argument("--tsne_full", action="store_true",
+                        help="With --validate: run t-SNE on ALL features"
+                             " (the reference's exact behavior on its 89,598"
+                             " rows) instead of the default 10k subsample —"
+                             " O(N log N) per iteration, can take hours at"
+                             " full CAMELYON16 scale")
     parser.add_argument("-train", "--train", action="store_true",
                         help="Train ResNet model (weighted loss, 30 epochs)")
     parser.add_argument("-eval", "--evaluate", action="store_true",
@@ -409,7 +415,10 @@ def main(argv=None) -> int:
         )
 
         feats, labels, _ = load_feature_artifacts(cfg.data.features_dir, level)
-        validate_features(feats, labels)
+        validate_features(
+            feats, labels,
+            **({"tsne_max_samples": len(feats)} if args.tsne_full else {}),
+        )
 
     if args.evaluate:
         level = int(args.patch_level) if args.patch_level != "all" else 3
