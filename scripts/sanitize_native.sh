@@ -13,7 +13,11 @@ set -u
 cd "$(dirname "$0")/.."
 NATIVE=ss25_hierarchical_multiscale_image_classification_tpu/io/native
 OUT=docs/proofs/sanitizer_report.json
-PYTEST_ARGS=${@:-tests/test_native.py -q}
+# Default scope: the native decoder/chunkproc tests, including the
+# >=8-worker concurrency stress. The two jax-driven integration tests are
+# excluded — XLA's own thread pools under TSan instrumentation take tens
+# of minutes per compile and are not the first-party C++ under test.
+PYTEST_ARGS=${@:-"tests/test_native.py -q --deselect tests/test_native.py::test_tiff_extraction_pipeline --deselect tests/test_native.py::test_sliding_window_on_tiff"}
 
 make -C "$NATIVE" tsan asan || exit 1
 
