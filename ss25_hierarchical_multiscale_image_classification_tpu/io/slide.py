@@ -104,9 +104,16 @@ class NpzSlide(ArraySlide):
         super().__init__(levels, properties={"path": path, "format": "npz"})
 
 
-def save_npz_slide(path: str, levels: Sequence[np.ndarray]) -> None:
+def save_npz_slide(
+    path: str, levels: Sequence[np.ndarray], compress: bool = False
+) -> None:
+    """Write a pyramid container. Uncompressed by default: the synthetic
+    fixtures' noise textures barely compress (DEFLATE ~2:1) but cost ~60 s
+    per gigapixel-ish slide to deflate — fabricating the 60-slide FROC
+    fixture set went from ~90 to ~7 s/slide. ``NpzSlide`` reads both."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez_compressed(
+    writer = np.savez_compressed if compress else np.savez
+    writer(
         path, **{f"level_{i}": np.asarray(lv, np.uint8) for i, lv in enumerate(levels)}
     )
 
