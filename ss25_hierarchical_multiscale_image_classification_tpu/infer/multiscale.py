@@ -64,6 +64,10 @@ def _combine_probs(logits, aux, temperature, aux_temperature,
     return jnp.stack([p_ens, p_fusion, p_aux], axis=1)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
 def make_prob_step_multiscale_int8(
     model, levels, input_size: int = 224, temperature: float = 1.0,
     aux_temperature: float = 1.0, ensemble_weight: float = 1.0,
@@ -120,6 +124,7 @@ def make_prob_step_multiscale_int8(
     return prob_step
 
 
+@functools.lru_cache(maxsize=8)
 def make_prob_step_multiscale(
     model, levels, input_size: int = 224, temperature: float = 1.0,
     aux_temperature: float = 1.0, ensemble_weight: float = 1.0,

@@ -110,7 +110,16 @@ class BandProducer:
         self._thread.join()
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
 def make_prob_step(model, input_size: int = 224):
+    """Jitted prob step, CACHED per (model, input_size): a fleet run calls
+    ``predict_slide`` once per slide, and a fresh ``@jax.jit`` closure per
+    slide would recompile (or at best re-hit the persistent cache) every
+    time — linen modules are frozen dataclasses, so they key an lru_cache.
+    """
     from ss25_hierarchical_multiscale_image_classification_tpu.data.augment import (
         preprocess_batch,
     )
@@ -134,9 +143,11 @@ def make_prob_step(model, input_size: int = 224):
     return prob_step
 
 
+@functools.lru_cache(maxsize=8)
 def make_prob_step_int8(input_size: int = 224):
     """int8 (w8a8) classifier probability step over a quantized tree
-    (``models/quantized.py``); u8 patches resize on device if needed."""
+    (``models/quantized.py``); u8 patches resize on device if needed.
+    Cached per input size (see :func:`make_prob_step`)."""
     import jax.numpy as jnp
 
     from ss25_hierarchical_multiscale_image_classification_tpu.models.quantized import (
