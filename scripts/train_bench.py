@@ -24,7 +24,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_classifier(batch: int, iters: int, warmup: int = 3) -> dict:
+def bench_classifier(batch: int, iters: int, warmup: int = 3,
+                     segments: bool = False) -> dict:
+    import functools
+
     import jax
     import jax.numpy as jnp
     import optax
@@ -49,7 +52,9 @@ def bench_classifier(batch: int, iters: int, warmup: int = 3) -> dict:
     opt_state = tx.init(params)
     weights = jnp.asarray([1.0, 6.0], jnp.float32)
 
-    @jax.jit
+    # donate state like the real trainer (train/trainer.py:81): without
+    # donation every step writes fresh params+opt buffers (~134 MB)
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, batch_stats, opt_state, rng, imgs_u8, labels, valid):
         def loss_fn(p):
             logits, upd = model.apply(
@@ -77,22 +82,74 @@ def bench_classifier(batch: int, iters: int, warmup: int = 3) -> dict:
     valid = jax.device_put(np.ones((batch,), np.float32))
     key = jax.random.key(1)
 
-    for i in range(warmup):
-        params, batch_stats, opt_state, loss = step(
-            params, batch_stats, opt_state, key, imgs[i % 2], labels, valid
+    def time_fn(fn, n):
+        out = None
+        for i in range(warmup):
+            out = fn(i)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for i in range(n):
+            out = fn(i)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n
+
+    out: dict = {}
+    if segments:
+        # 1) augment alone
+        aug = jax.jit(lambda r, x: preprocess_batch(r, x, training=True))
+        dt = time_fn(lambda i: aug(key, imgs[i % 2]), iters)
+        out["augment_ms"] = round(dt * 1000, 2)
+
+        # 2) augment + fwd + loss (no bwd)
+        @jax.jit
+        def fwd(params, batch_stats, rng, imgs_u8, labels, valid):
+            logits, _upd = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                preprocess_batch(rng, imgs_u8, training=True),
+                train=True, mutable=["batch_stats"],
+            )
+            return weighted_cross_entropy(logits, labels, weights, valid)
+
+        dt = time_fn(
+            lambda i: fwd(params, batch_stats, key, imgs[i % 2], labels,
+                          valid),
+            iters,
         )
-    float(loss)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        params, batch_stats, opt_state, loss = step(
-            params, batch_stats, opt_state, key, imgs[i % 2], labels, valid
+        out["fwd_ms"] = round(dt * 1000, 2)
+
+        # 3) + bwd (no optimizer, no donation)
+        @jax.jit
+        def fwd_bwd(params, batch_stats, rng, imgs_u8, labels, valid):
+            def loss_fn(p):
+                logits, upd = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    preprocess_batch(rng, imgs_u8, training=True),
+                    train=True, mutable=["batch_stats"],
+                )
+                return weighted_cross_entropy(logits, labels, weights, valid)
+
+            return jax.value_and_grad(loss_fn)(params)
+
+        dt = time_fn(
+            lambda i: fwd_bwd(params, batch_stats, key, imgs[i % 2],
+                              labels, valid),
+            iters,
         )
-    float(loss)
-    dt = time.perf_counter() - t0
-    return {
-        "step_ms": round(dt / iters * 1000, 2),
-        "patches_per_sec": round(batch * iters / dt, 1),
-    }
+        out["fwd_bwd_ms"] = round(dt * 1000, 2)
+
+    # 4) the full donated step (steady state)
+    state = [params, batch_stats, opt_state]
+
+    def full(i):
+        state[0], state[1], state[2], loss = step(
+            state[0], state[1], state[2], key, imgs[i % 2], labels, valid
+        )
+        return loss
+
+    dt = time_fn(full, iters)
+    out["step_ms"] = round(dt * 1000, 2)
+    out["patches_per_sec"] = round(batch / dt, 1)
+    return out
 
 
 def bench_simclr(batch: int, iters: int, warmup: int = 3) -> dict:
@@ -169,9 +226,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--segments", action="store_true",
+                    help="also time augment / fwd / fwd+bwd in isolation")
     a = ap.parse_args()
     out = {
-        "classifier_train": bench_classifier(a.batch, a.iters),
+        "classifier_train": bench_classifier(
+            a.batch, a.iters, segments=a.segments
+        ),
         "simclr_train": bench_simclr(a.batch, a.iters),
         "batch": a.batch,
     }

@@ -108,6 +108,12 @@ def build_parser() -> argparse.ArgumentParser:
                              " detection CSVs for the fusion-only and"
                              " per-level-aux surfaces (one inference pass;"
                              " dirs model_predictions_csv_{fusion,aux})")
+    parser.add_argument("--detect_threshold", type=float, default=None,
+                        help="With --predict_slide: emission floor for "
+                             "detections, in probability space (default "
+                             "0.05; the FROC consumer ranks and sweeps "
+                             "thresholds itself, so a low floor only adds "
+                             "operating points)")
     parser.add_argument("--stride", type=int, default=None,
                         help="Patch-grid stride in level pixels (default: "
                              "patch size, i.e. non-overlapping). Applies to "
@@ -516,6 +522,14 @@ def main(argv=None) -> int:
 
         level = int(args.patch_level) if args.patch_level != "all" else 3
         csv_dir = os.path.join(cfg.models_dir, "model_predictions_csv")
+        from ss25_hierarchical_multiscale_image_classification_tpu.config import (
+            DETECTION_PROB_THRESHOLD,
+        )
+
+        detect_threshold = (
+            args.detect_threshold if args.detect_threshold is not None
+            else DETECTION_PROB_THRESHOLD
+        )
 
         import jax
 
@@ -588,23 +602,27 @@ def main(argv=None) -> int:
                         slide_name,
                     )
                     from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
-                        nms_detections,
+                        margin_detections,
                         write_detection_csv,
                     )
 
                     def _ms_predict(path, variables, *, mesh, **kw):
-                        probs, grid, comps = predict_slide_multiscale(
+                        # the fleet calls with output="margin"; the
+                        # component surfaces come back in the same space
+                        scores, grid, comps = predict_slide_multiscale(
                             path, variables, levels=ms_levels, mesh=mesh,
                             combine=args.ms_combine,
                             return_components=True, **kw,
                         )
                         name = slide_name(os.path.basename(path))
                         for comp in ("fusion", "aux"):
-                            det = nms_detections(comps[comp], grid)
+                            det = margin_detections(
+                                comps[comp], grid, detect_threshold
+                            )
                             write_detection_csv(
                                 f"{csv_dir}_{comp}/{name}.csv", det
                             )
-                        return probs, grid
+                        return scores, grid
                 else:
                     def _ms_predict(path, variables, *, mesh, **kw):
                         return predict_slide_multiscale(
@@ -615,6 +633,7 @@ def main(argv=None) -> int:
                 grids = predict_slide_fleet(
                     paths, variables, csv_dir,
                     group_size=_checked_group_size(),
+                    threshold=detect_threshold,
                     predict_fn=_ms_predict, int8=args.int8, **ms_kw,
                 )
                 overlay_targets = grids.items() if args.overlay else ()
@@ -622,7 +641,8 @@ def main(argv=None) -> int:
                 prob_grid, _csv = predict_and_export_multiscale(
                     args.predict_slide, variables, csv_dir,
                     levels=ms_levels, int8=args.int8, mesh=_full_mesh(),
-                    combine=args.ms_combine, **ms_kw,
+                    combine=args.ms_combine, threshold=detect_threshold,
+                    **ms_kw,
                 )
                 overlay_targets = (
                     [(args.predict_slide, prob_grid)] if args.overlay else ()
@@ -671,7 +691,7 @@ def main(argv=None) -> int:
             grids = predict_slide_fleet(
                 paths, variables, csv_dir, level=level,
                 group_size=_checked_group_size(), int8=args.int8,
-                **predict_kw,
+                threshold=detect_threshold, **predict_kw,
             )
             if args.overlay:
                 for path, prob_grid in grids.items():
@@ -704,7 +724,8 @@ def main(argv=None) -> int:
                 )
             prob_grid, _csv = predict_and_export(
                 args.predict_slide, variables, csv_dir, level=level,
-                int8=args.int8, mesh=_full_mesh(), **predict_kw,
+                int8=args.int8, mesh=_full_mesh(),
+                threshold=detect_threshold, **predict_kw,
             )
             if args.overlay:
                 out = os.path.join(

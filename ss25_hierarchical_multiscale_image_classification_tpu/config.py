@@ -30,6 +30,14 @@ TISSUE_MEAN_RGB_THRESHOLD: float = 240.0
 #: Pad-to-grid fill value -- white (reference ``src/main.py:701``).
 PAD_FILL_VALUE: int = 255
 
+#: Default emission floor (probability space) for the detection producers.
+#: The official FROC consumer (``src/utils/evaluation_FROC.py:156-183``)
+#: ranks detections by score and sweeps thresholds itself, so emitting
+#: liberally only ADDS operating points at the high-FP end of the curve --
+#: it can raise but never lower the score. 0.05 keeps weak true lesions on
+#: the curve that a 0.5 floor would silently drop.
+DETECTION_PROB_THRESHOLD: float = 0.05
+
 #: Model input resolution (reference ``src/main.py:417-425`` resize target).
 INPUT_SIZE: int = 224
 

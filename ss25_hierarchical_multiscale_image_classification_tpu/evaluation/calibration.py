@@ -1,16 +1,18 @@
-"""Post-hoc probability calibration for detection-grade probabilities.
+"""Post-hoc probability calibration for detection-grade scores.
 
-The FROC producer emits detections above a fixed probability threshold
-(``infer/sliding_window.py``); an over/under-confident head therefore
-changes WHICH cells become detections, not just their scores. Temperature
-scaling (Guo et al., 2017) is the standard monotone fix: one scalar ``T``
-per head, fitted on held-out validation logits by NLL. Ranking across
-heads (fusion vs per-scale ensemble) is selected by validation ROC-AUC —
-the ranking metric FROC ultimately consumes.
+Temperature scaling (Guo et al., 2017) fits one scalar ``T`` per head on
+held-out validation logits by NLL. Within one head, ``T`` is a monotone
+rescaling — it changes neither the p>0.5 emission set nor the ranking —
+so its sole detection-grade role is putting SEPARATE heads on a common
+scale before mixing them: the fusion-vs-per-scale ensemble weight is then
+selected by validation ROC-AUC, the ranking metric FROC ultimately
+consumes. Mixing (and all detection ranking) happens in calibrated
+log-odds space; probability space saturates confident cells to exact-1.0
+float ties that collapse the FROC threshold sweep.
 
 The reference has no calibration stage (its producer is absent altogether,
 SURVEY.md §3.5); this closes the round-2 gap where the hierarchical fusion
-head's uncalibrated probabilities scored below the single-level producer.
+head's scores ranked below the single-level producer.
 """
 
 from __future__ import annotations
@@ -92,7 +94,12 @@ def pick_ensemble_weight(
 ) -> tuple[float, float]:
     """Pick w maximizing val ROC-AUC of ``w*p_fusion + (1-w)*p_aux``.
 
-    ``p_*`` are tumor-class probabilities (already temperature-scaled).
+    Space-agnostic mixing: callers pass per-head scores in whatever space
+    inference will mix them in — the FROC producer uses calibrated
+    log-odds (``infer/multiscale._combine_scores``), so the trainer
+    passes temperature-scaled margins here, NOT probabilities (the
+    logistic saturates confident cells to exact-1.0 float ties that
+    destroy rank-based selection and the downstream FROC sweep).
     Returns (w, auc). Ties prefer the middle (w=0.5) — averaging is the
     variance-reducing default when the heads are indistinguishable on val.
     """

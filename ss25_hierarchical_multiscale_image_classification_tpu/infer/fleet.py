@@ -56,7 +56,7 @@ def predict_slide_fleet(
     csv_dir: str,
     level: int = 3,
     group_size: int | None = None,
-    threshold: float = 0.5,
+    threshold: float | None = None,
     devices=None,
     predict_fn=None,
     **predict_kw,
@@ -66,26 +66,37 @@ def predict_slide_fleet(
     Returns ``{slide_path: prob_grid}``; detection CSVs land in ``csv_dir``
     (one per slide, the FROC consumer's expected layout). ``predict_kw``
     forwards to :func:`predict_slide` (``batch_size``, ``stride``,
-    ``int8``, ``model``, ``input_size``, ...).
+    ``int8``, ``model``, ``input_size``, ...). ``threshold`` is the
+    emission floor in probability space (default
+    :data:`~..config.DETECTION_PROB_THRESHOLD`).
 
     ``predict_fn`` swaps the per-slide producer — signature
-    ``(path, variables, mesh=..., **predict_kw) -> (prob_grid, grid)``;
-    the default is the single-level :func:`predict_slide`. The multiscale
-    CLI path passes the hierarchical producer here so fleet × multiscale
-    composes (one slide per chip group, meshed within the group).
+    ``(path, variables, mesh=..., **predict_kw) -> (grid_scores, grid)``;
+    the default is the single-level :func:`predict_slide`. It is called
+    with ``output="margin"`` so detection ranking survives float32
+    saturation; custom producers must honor that kwarg (both built-in
+    producers do). The multiscale CLI path passes the hierarchical
+    producer here so fleet × multiscale composes (one slide per chip
+    group, meshed within the group).
     """
+    from ss25_hierarchical_multiscale_image_classification_tpu.config import (
+        DETECTION_PROB_THRESHOLD,
+    )
     from ss25_hierarchical_multiscale_image_classification_tpu.data.extract import (
         slide_name,
     )
     from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
-        nms_detections,
+        margin_detections,
         predict_slide,
+        sigmoid,
         write_detection_csv,
     )
     from ss25_hierarchical_multiscale_image_classification_tpu.parallel.mesh import (
         make_mesh,
     )
 
+    if threshold is None:
+        threshold = DETECTION_PROB_THRESHOLD
     if predict_fn is None:
         def predict_fn(path, variables, *, mesh, **kw):
             return predict_slide(path, variables, level=level, mesh=mesh, **kw)
@@ -113,15 +124,15 @@ def predict_slide_fleet(
             # "tumor_001") so CSVs match the FROC consumer's mask names
             name = slide_name(os.path.basename(path))
             try:
-                prob_grid, grid = predict_fn(
-                    path, variables, mesh=mesh, **predict_kw
+                margins, grid = predict_fn(
+                    path, variables, mesh=mesh, output="margin", **predict_kw
                 )
-                detections = nms_detections(prob_grid, grid, threshold=threshold)
+                detections = margin_detections(margins, grid, threshold)
                 write_detection_csv(
                     os.path.join(csv_dir, f"{name}.csv"), detections
                 )
                 with lock:
-                    results[path] = prob_grid
+                    results[path] = sigmoid(margins)
                 log.info(
                     "group %d: %s → %d detections", gi, name, len(detections)
                 )

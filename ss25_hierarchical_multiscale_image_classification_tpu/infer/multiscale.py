@@ -42,26 +42,32 @@ from ss25_hierarchical_multiscale_image_classification_tpu.models.hierarchical i
 log = get_logger("infer.multiscale")
 
 
-def _combine_probs(logits, aux, temperature, aux_temperature,
-                   ensemble_weight):
-    """(fusion logits, aux logits|None) → (B, 3) tumor probabilities:
-    columns [ensemble, fusion, aux-mean], temperature-scaled per head.
-    Without aux heads all columns carry the fusion probability."""
+def _combine_scores(logits, aux, temperature, aux_temperature,
+                    ensemble_weight):
+    """(fusion logits, aux logits|None) → (B, 3) detection scores in
+    CALIBRATED LOG-ODDS space: columns [ensemble, fusion, aux-mean].
+
+    Per head the score is the logit margin over its fitted temperature —
+    rank-identical to the temperature-scaled softmax probability but free
+    of float32 saturation (temperature sharpening ties confident cells at
+    exactly 1.0 in probability space, which collapsed the FROC ranking in
+    round 3's first multiscale run). The ensemble mixes the two heads'
+    calibrated log-odds with the validation-AUC-selected weight; the
+    per-scale column is the mean of calibrated per-level margins (a
+    geometric-mean-of-odds ensemble). Probability = ``sigmoid(score)``.
+    Without aux heads all columns carry the fusion score."""
     import jax.numpy as jnp
 
-    p_fusion = jax.nn.softmax(
-        logits.astype(jnp.float32) / temperature, axis=-1
-    )[:, 1]
+    z = logits.astype(jnp.float32)
+    m_fusion = (z[:, 1] - z[:, 0]) / temperature
     if aux is None:
-        return jnp.stack([p_fusion, p_fusion, p_fusion], axis=1)
-    p_aux = jnp.mean(
-        jax.nn.softmax(
-            aux.astype(jnp.float32) / aux_temperature, axis=-1
-        )[:, :, 1],
-        axis=1,
+        return jnp.stack([m_fusion, m_fusion, m_fusion], axis=1)
+    za = aux.astype(jnp.float32)
+    m_aux = jnp.mean(
+        (za[:, :, 1] - za[:, :, 0]) / aux_temperature, axis=1
     )
-    p_ens = ensemble_weight * p_fusion + (1.0 - ensemble_weight) * p_aux
-    return jnp.stack([p_ens, p_fusion, p_aux], axis=1)
+    m_ens = ensemble_weight * m_fusion + (1.0 - ensemble_weight) * m_aux
+    return jnp.stack([m_ens, m_fusion, m_aux], axis=1)
 
 
 import functools
@@ -77,7 +83,8 @@ def make_prob_step_multiscale_int8(
     MXU batch over all scales — ``models/quantized.py``); the scale
     embedding + fusion/aux heads stay float via
     :meth:`~..models.hierarchical.HierarchicalPatchClassifier.fuse` /
-    ``aux_logits``. Returns (B, 3) probs [ensemble, fusion, aux]."""
+    ``aux_logits``. Returns (B, 3) calibrated log-odds scores
+    [ensemble, fusion, aux] (see :func:`_combine_scores`)."""
     import jax.numpy as jnp
 
     from ss25_hierarchical_multiscale_image_classification_tpu.models.hierarchical import (
@@ -117,7 +124,7 @@ def make_prob_step_multiscale_int8(
             )
             if with_aux else None
         )
-        return _combine_probs(
+        return _combine_scores(
             logits, aux, temperature, aux_temperature, ensemble_weight
         )
 
@@ -130,8 +137,9 @@ def make_prob_step_multiscale(
     aux_temperature: float = 1.0, ensemble_weight: float = 1.0,
     with_aux: bool = False,
 ):
-    """Jitted step: dict {level: u8 (B, ps_l, ps_l, 3)} → (B, 3) tumor
-    probs [calibrated ensemble, fusion, per-scale-aux mean].
+    """Jitted step: dict {level: u8 (B, ps_l, ps_l, 3)} → (B, 3) detection
+    scores in calibrated log-odds space [ensemble, fusion, per-scale-aux
+    mean] (see :func:`_combine_scores`).
 
     Each level normalizes and resizes to ``input_size`` on device (the
     trainer's :class:`~..data.multiscale.MultiscaleDataset` resizes on
@@ -158,7 +166,7 @@ def make_prob_step_multiscale(
             train=False, with_aux=with_aux,
         )
         logits, aux = out if with_aux else (out, None)
-        return _combine_probs(
+        return _combine_scores(
             logits, aux, temperature, aux_temperature, ensemble_weight
         )
 
@@ -180,6 +188,7 @@ def predict_slide_multiscale(
     combine: str = "auto",
     return_components: bool = False,
     qtree: dict | None = None,
+    output: str = "prob",
 ):
     """Multiscale tumor probability per co-located grid cell.
 
@@ -200,8 +209,20 @@ def predict_slide_multiscale(
     the slide (they share the trunk); ``return_components=True``
     additionally returns ``{"ensemble"|"fusion"|"aux": (ny, nx)}``.
 
+    ``output="margin"`` returns calibrated log-odds surfaces instead of
+    probabilities (non-tissue = ``NON_TISSUE_MARGIN``) — the detection
+    producers rank on these so confident cells don't tie at probability
+    1.0 (see ``sliding_window.margin_to_score``).
+
     Returns (probs (ny, nx), base grid[, components]).
     """
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
+        NON_TISSUE_MARGIN,
+        sigmoid,
+    )
+
+    if output not in ("prob", "margin"):
+        raise ValueError(f"unknown output mode {output!r}")
     levels = tuple(sorted(levels))
     base = max(levels)
     slide = (
@@ -315,7 +336,8 @@ def predict_slide_multiscale(
 
         ny, nx = grid.ny, grid.nx
         n = grid.num_patches
-        probs = np.zeros((n, 3), np.float32)  # [ensemble, fusion, aux]
+        # log-odds scores [ensemble, fusion, aux]; σ applied at return
+        probs = np.full((n, 3), NON_TISSUE_MARGIN, np.float32)
 
         def fresh_batch():
             return {
@@ -419,10 +441,12 @@ def predict_slide_multiscale(
             # stop/join BEFORE the outer finally closes the slide handle
             producer.stop()
 
-        grids = np.zeros((3, ny, nx), np.float32)
+        grids = np.full((3, ny, nx), NON_TISSUE_MARGIN, np.float32)
         for i in range(n):
             ix, iy = divmod(i, ny)
             grids[:, iy, ix] = probs[i]
+        if output == "prob":
+            grids = sigmoid(grids)
         out = grids[col]
         if return_components:
             components = {
@@ -440,27 +464,35 @@ def predict_and_export_multiscale(
     variables: dict,
     csv_dir: str,
     levels=(2, 3),
-    threshold: float = 0.5,
+    threshold: float | None = None,
     **kw,
 ) -> tuple[np.ndarray, str]:
     """Multiscale producer: probability grid + detection CSV for one slide
-    (same CSV contract as the single-level producer)."""
+    (same CSV contract as the single-level producer). ``threshold`` is in
+    probability space (default ``DETECTION_PROB_THRESHOLD``); ranking and
+    emission run on the calibrated log-odds surface."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.config import (
+        DETECTION_PROB_THRESHOLD,
+    )
     from ss25_hierarchical_multiscale_image_classification_tpu.data.extract import (
         slide_name,
     )
     from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
-        nms_detections,
+        margin_detections,
+        sigmoid,
         write_detection_csv,
     )
 
+    if threshold is None:
+        threshold = DETECTION_PROB_THRESHOLD
     name = slide_name(os.path.basename(slide_path))
-    prob_grid, grid = predict_slide_multiscale(
-        slide_path, variables, levels=levels, **kw
+    margins, grid = predict_slide_multiscale(
+        slide_path, variables, levels=levels, output="margin", **kw
     )
-    detections = nms_detections(prob_grid, grid, threshold=threshold)
+    detections = margin_detections(margins, grid, threshold)
     csv_path = os.path.join(csv_dir, f"{name}.csv")
     write_detection_csv(csv_path, detections)
     log.info(
         "%s: %d multiscale detections → %s", name, len(detections), csv_path
     )
-    return prob_grid, csv_path
+    return sigmoid(margins), csv_path

@@ -113,12 +113,57 @@ class BandProducer:
 import functools
 
 
+# Margin assigned to cells the tissue filter skipped: sigmoid(-1e4) is
+# exactly 0.0f (matches the old all-zero prob init) and any real tissue
+# margin ranks above it.
+NON_TISSUE_MARGIN: float = -1.0e4
+
+
+def sigmoid(m: np.ndarray) -> np.ndarray:
+    """Numerically-safe elementwise logistic on host (margin → prob).
+
+    Only exponentiates non-positive values, so it never overflows and
+    :data:`NON_TISSUE_MARGIN` underflows to exactly 0.0 (matching the
+    historical all-zero background of probability grids)."""
+    m = np.asarray(m, np.float32)
+    pos = m >= 0
+    z = np.exp(np.where(pos, -m, m))  # exponent ≤ 0: safe
+    return np.where(pos, 1.0 / (1.0 + z), z / (1.0 + z)).astype(np.float32)
+
+
+def prob_to_margin(p: float) -> float:
+    """Inverse logistic: probability-space threshold → margin space."""
+    p = min(max(float(p), 1e-12), 1.0 - 1e-12)
+    return float(np.log(p / (1.0 - p)))
+
+
+def margin_to_score(m) -> np.ndarray:
+    """Detection score for the CSV: a softsign squash of the logit margin,
+    ``0.5 + 0.5*m/(1+|m|)`` ∈ (0, 1).
+
+    The logistic would be the calibrated choice but saturates to exactly
+    1.0 in float for margins ≳ 17, tying every confident detection — and
+    the FROC consumer ranks detections by this value, so ties collapse its
+    operating points (the round-2→3 multiscale regression). Softsign is
+    monotone in the margin (rank-identical to any temperature scaling),
+    crosses 0.5 at margin 0 exactly like the logistic, and keeps distinct
+    float64 values out to |m| ~ 1e6.
+    """
+    m = np.asarray(m, np.float64)
+    return 0.5 + 0.5 * m / (1.0 + np.abs(m))
+
+
 @functools.lru_cache(maxsize=8)
 def make_prob_step(model, input_size: int = 224):
-    """Jitted prob step, CACHED per (model, input_size): a fleet run calls
+    """Jitted margin step, CACHED per (model, input_size): a fleet run calls
     ``predict_slide`` once per slide, and a fresh ``@jax.jit`` closure per
     slide would recompile (or at best re-hit the persistent cache) every
     time — linen modules are frozen dataclasses, so they key an lru_cache.
+
+    Returns the tumor logit margin ``logits[:,1] - logits[:,0]`` rather
+    than the softmax probability: the margin carries full ranking
+    resolution where float32 softmax saturates to exact 0/1 ties
+    (probability = ``sigmoid(margin)`` when one is needed).
     """
     from ss25_hierarchical_multiscale_image_classification_tpu.data.augment import (
         preprocess_batch,
@@ -137,15 +182,15 @@ def make_prob_step(model, input_size: int = 224):
             )
         logits = model.apply(
             {"params": params, "batch_stats": batch_stats}, imgs, train=False
-        )
-        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
+        ).astype(jnp.float32)
+        return logits[:, 1] - logits[:, 0]
 
     return prob_step
 
 
 @functools.lru_cache(maxsize=8)
 def make_prob_step_int8(input_size: int = 224):
-    """int8 (w8a8) classifier probability step over a quantized tree
+    """int8 (w8a8) classifier margin step over a quantized tree
     (``models/quantized.py``); u8 patches resize on device if needed.
     Cached per input size (see :func:`make_prob_step`)."""
     import jax.numpy as jnp
@@ -163,8 +208,10 @@ def make_prob_step_int8(input_size: int = 224):
                 method="bilinear",
             )
             imgs_u8 = jnp.clip(jnp.round(f), 0, 255).astype(jnp.uint8)
-        logits = quant_forward(qtree, imgs_u8, with_fc=True)
-        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
+        logits = quant_forward(qtree, imgs_u8, with_fc=True).astype(
+            jnp.float32
+        )
+        return logits[:, 1] - logits[:, 0]
 
     return prob_step
 
@@ -182,11 +229,16 @@ def predict_slide(
     int8: bool = False,
     warmup: bool = False,
     qtree: dict | None = None,
+    output: str = "prob",
 ) -> tuple[np.ndarray, PatchGrid]:
     """Tumor probability per grid cell.
 
     Returns (probs (ny, nx) float32 indexed [y_idx, x_idx], grid). Non-tissue
-    cells are 0. With a ``mesh``, each batch is sharded across the data axis
+    cells are 0. ``output="margin"`` returns the logit-margin grid instead
+    (non-tissue = :data:`NON_TISSUE_MARGIN`) — rank-identical to the
+    probability but free of float32 softmax saturation, which the detection
+    producers need because the FROC consumer ranks by the emitted score.
+    With a ``mesh``, each batch is sharded across the data axis
     — the slide's patch grid is spatially data-parallel over ICI (the
     multi-chip path behind the <60 s full-slide target; SURVEY.md §5).
     ``int8=True`` quantizes the classifier and runs the MXU int8 path:
@@ -195,6 +247,8 @@ def predict_slide(
     batch sizes and slides; without one, scales calibrate lazily on this
     slide's first tissue batch.
     """
+    if output not in ("prob", "margin"):
+        raise ValueError(f"unknown output mode {output!r}")
     slide = (
         open_slide(slide_or_path) if isinstance(slide_or_path, str) else slide_or_path
     )
@@ -279,7 +333,8 @@ def predict_slide(
         ps = grid.patch_size
         stride_px = grid.stride
         n = len(coords)
-        probs = np.zeros((n,), np.float32)
+        # margins throughout; converted to probability at return if asked
+        probs = np.full((n,), NON_TISSUE_MARGIN, np.float32)
         level_w, level_h = slide.level_dimensions[level]
 
         if warmup and qstep is None:
@@ -363,9 +418,11 @@ def predict_slide(
         stride_px = grid.stride
         nx = len({int(c[0]) for c in coords})
         ny = len({int(c[1]) for c in coords})
-        out = np.zeros((ny, nx), np.float32)
+        out = np.full((ny, nx), NON_TISSUE_MARGIN, np.float32)
         for i, (x, y) in enumerate(coords):
             out[y // stride_px, x // stride_px] = probs[i]
+        if output == "prob":
+            out = sigmoid(out)
         return out, grid
     finally:
         if own:
@@ -379,7 +436,11 @@ def nms_detections(
     radius_cells: int = 1,
     max_detections: int = 1000,
 ) -> list[tuple[float, int, int]]:
-    """Greedy grid NMS → [(prob, x_level0, y_level0)] at patch centers."""
+    """Greedy grid NMS → [(score, x_level0, y_level0)] at patch centers.
+
+    Space-agnostic: operates on whatever monotone score the grid carries
+    (probability or logit margin); ``threshold`` must be in the same space.
+    """
     probs = prob_grid.copy()
     out: list[tuple[float, int, int]] = []
     ds = grid.downsample
@@ -395,7 +456,9 @@ def nms_detections(
         out.append((p, x0, y0))
         y_lo, y_hi = max(0, gy - radius_cells), gy + radius_cells + 1
         x_lo, x_hi = max(0, gx - radius_cells), gx + radius_cells + 1
-        probs[y_lo:y_hi, x_lo:x_hi] = -1.0
+        # -inf, not a finite sentinel: in margin space any finite value
+        # can sit above the emission threshold
+        probs[y_lo:y_hi, x_lo:x_hi] = -np.inf
     return out
 
 
@@ -411,23 +474,49 @@ def write_detection_csv(
             w.writerow([prob, x, y])
 
 
+def margin_detections(
+    margin_grid: np.ndarray,
+    grid: PatchGrid,
+    threshold: float,
+    **nms_kw,
+) -> list[tuple[float, int, int]]:
+    """NMS on a margin grid, scores squashed for the CSV.
+
+    ``threshold`` is in probability space (the user-facing knob); it maps
+    to margin space for the floor, and emitted scores are
+    :func:`margin_to_score` — rank-faithful to the margin with no float
+    saturation ties (the FROC consumer sorts on this value).
+    """
+    dets = nms_detections(
+        margin_grid, grid, threshold=prob_to_margin(threshold), **nms_kw
+    )
+    return [(float(margin_to_score(m)), x, y) for m, x, y in dets]
+
+
 def predict_and_export(
     slide_path: str,
     variables: dict,
     csv_dir: str,
     level: int = 3,
-    threshold: float = 0.5,
+    threshold: float | None = None,
     **kw,
 ) -> tuple[np.ndarray, str]:
     """Full producer: probability grid + detection CSV for one slide."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.config import (
+        DETECTION_PROB_THRESHOLD,
+    )
     from ss25_hierarchical_multiscale_image_classification_tpu.data.extract import (
         slide_name,
     )
 
+    if threshold is None:
+        threshold = DETECTION_PROB_THRESHOLD
     name = slide_name(os.path.basename(slide_path))
-    prob_grid, grid = predict_slide(slide_path, variables, level=level, **kw)
-    detections = nms_detections(prob_grid, grid, threshold=threshold)
+    margins, grid = predict_slide(
+        slide_path, variables, level=level, output="margin", **kw
+    )
+    detections = margin_detections(margins, grid, threshold)
     csv_path = os.path.join(csv_dir, f"{name}.csv")
     write_detection_csv(csv_path, detections)
     log.info("%s: %d detections → %s", name, len(detections), csv_path)
-    return prob_grid, csv_path
+    return sigmoid(margins), csv_path

@@ -198,15 +198,13 @@ def train_multiscale_classifier(
             aux.reshape(-1, aux.shape[-1]), np.tile(labels_np, s)
         )
 
-        def _softmax(z, t):
-            z = z / t
-            z = z - z.max(axis=-1, keepdims=True)
-            e = np.exp(z)
-            return e / e.sum(axis=-1, keepdims=True)
-
-        p_fusion = _softmax(logits, t_fusion)[:, 1]
-        p_aux = _softmax(aux, t_aux)[:, :, 1].mean(axis=1)
-        w, auc = pick_ensemble_weight(p_fusion, p_aux, labels_np)
+        # mix in calibrated LOG-ODDS space — the exact space the producer
+        # ranks detections in (``infer/multiscale._combine_scores``);
+        # probability-space mixing saturates confident cells to exact-1.0
+        # float ties, which collapses the FROC consumer's ranking
+        m_fusion = (logits[:, 1] - logits[:, 0]) / t_fusion
+        m_aux = ((aux[:, :, 1] - aux[:, :, 0]) / t_aux).mean(axis=1)
+        w, auc = pick_ensemble_weight(m_fusion, m_aux, labels_np)
         calibration = {
             "temperature": float(t_fusion),
             "aux_temperature": float(t_aux),

@@ -98,6 +98,45 @@ def test_nms_and_csv(tmp_path):
     assert probs_r[0] == pytest.approx(0.9) and xs[0] == x0 and ys[0] == y0
 
 
+def test_margin_scores_never_tie_where_softmax_saturates():
+    """The FROC consumer ranks detections by the emitted score, so two
+    cells with distinct logit margins must emit distinct scores even deep
+    in softmax saturation (float32 softmax ties everything past margin
+    ~17 at exactly 1.0 — the round-3 multiscale FROC collapse).
+    Softsign scores stay distinct, keep the margin's ordering, and cross
+    0.5 exactly at margin 0."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
+        margin_detections,
+        margin_to_score,
+        prob_to_margin,
+        sigmoid,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.grid.pyramid import (
+        PatchGrid,
+    )
+
+    margins = np.array([20.0, 25.0, 80.0, 300.0], np.float32)
+    # float32 softmax saturates: probabilities all tie at exactly 1.0
+    assert len(set(sigmoid(margins).tolist())) == 1
+    scores = margin_to_score(margins)
+    assert len(set(scores.tolist())) == len(margins)  # no ties
+    assert (np.diff(scores) > 0).all()  # order preserved
+    assert margin_to_score(0.0) == 0.5  # same emission set as p>0.5
+    assert abs(prob_to_margin(0.5)) < 1e-12
+
+    # end to end through NMS: a grid of saturated cells emits strictly
+    # decreasing, untied CSV scores
+    grid = PatchGrid(level=3, width=896, height=896, downsample=8.0,
+                     patch_size=224, stride=224)
+    mg = np.full((4, 4), -1.0e4, np.float32)
+    mg[0, 0], mg[0, 3], mg[3, 0], mg[3, 3] = 300.0, 80.0, 25.0, 20.0
+    dets = margin_detections(mg, grid, threshold=0.05)
+    probs = [p for p, _x, _y in dets]
+    assert len(probs) == 4
+    assert probs == sorted(probs, reverse=True)
+    assert len(set(probs)) == 4
+
+
 def test_render_overlay(synthetic_case, tmp_path):
     slide_path = os.path.join(synthetic_case, "train", "img", "tumor_001.wsi.npz")
     probs = np.random.default_rng(0).random((4, 4)).astype(np.float32)

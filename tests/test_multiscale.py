@@ -270,13 +270,18 @@ def test_predict_slide_multiscale_meshed(synthetic_case):
 
 
 def test_predict_multiscale_calibrated_components(synthetic_case):
-    """One pass yields all three probability surfaces; the ensemble is the
-    calibrated convex mix of fusion and per-scale-aux (round-3 capability:
-    calibrated detection probabilities for the namesake model)."""
+    """One pass yields all three surfaces; in log-odds space the ensemble
+    is the calibrated linear mix of fusion and per-scale-aux (round-3
+    capability: calibrated detection scores for the namesake model —
+    mixing happens in margin space so confident cells never tie at
+    probability 1.0)."""
     import os
 
     from ss25_hierarchical_multiscale_image_classification_tpu.infer.multiscale import (
         predict_slide_multiscale,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
+        sigmoid,
     )
 
     model = HierarchicalPatchClassifier(levels=(2, 3), dtype=jnp.float32)
@@ -291,23 +296,31 @@ def test_predict_multiscale_calibrated_components(synthetic_case):
     slide_path = os.path.join(
         synthetic_case, "train", "img", "tumor_001.wsi.npz"
     )
-    probs, grid, comps = predict_slide_multiscale(
-        slide_path, variables, levels=(2, 3), stride=112, batch_size=4,
-        model=model, input_size=s, return_components=True,
+    kw = dict(levels=(2, 3), stride=112, batch_size=4, model=model,
+              input_size=s)
+    margins, grid, mcomps = predict_slide_multiscale(
+        slide_path, variables, return_components=True, output="margin", **kw
     )
-    assert set(comps) == {"ensemble", "fusion", "aux"}
-    np.testing.assert_allclose(probs, comps["ensemble"], atol=1e-6)
+    assert set(mcomps) == {"ensemble", "fusion", "aux"}
+    np.testing.assert_allclose(margins, mcomps["ensemble"], atol=1e-6)
     np.testing.assert_allclose(
-        comps["ensemble"],
-        0.25 * comps["fusion"] + 0.75 * comps["aux"], atol=1e-5,
+        mcomps["ensemble"],
+        0.25 * mcomps["fusion"] + 0.75 * mcomps["aux"],
+        atol=1e-4, rtol=1e-5,
     )
     # the surfaces differ (different heads) on at least one tissue cell
-    assert not np.allclose(comps["fusion"], comps["aux"])
+    assert not np.allclose(mcomps["fusion"], mcomps["aux"])
+
+    # default probability output is the logistic of the margin surface
+    probs, _grid2, comps = predict_slide_multiscale(
+        slide_path, variables, return_components=True, **kw
+    )
+    assert (probs >= 0).all() and (probs <= 1).all()
+    np.testing.assert_allclose(probs, sigmoid(margins), atol=1e-6)
 
     # combine="fusion" reports the fusion surface
     p_f, _ = predict_slide_multiscale(
-        slide_path, variables, levels=(2, 3), stride=112, batch_size=4,
-        model=model, input_size=s, combine="fusion",
+        slide_path, variables, combine="fusion", **kw
     )
     np.testing.assert_allclose(p_f, comps["fusion"], atol=1e-6)
 
