@@ -241,6 +241,34 @@ def preprocess_batch(rng, imgs_u8, training: bool = True):
     return normalize(imgs_u8)
 
 
+@functools.partial(jax.jit, static_argnames=("training",))
+def preprocess_multiscale_batch(rng, imgs_by_level: dict,
+                                training: bool = True) -> dict:
+    """dict {level: uint8 (B,S,S,3)} → dict of normalized float32 batches.
+
+    Training augmentation is CONSISTENT across the scales of a cell: the
+    co-located patches of one cell cover the identical level-0 field of
+    view (per-level patch sizes 1792/896/448/224, reference
+    ``src/main.py:614``), so the same flip / k·90° rotation keeps them
+    geometrically aligned, and sharing the color-jitter draw keeps the
+    stain appearance coherent across magnifications. Implemented by
+    reusing the SAME per-example rng for every level —
+    ``_train_augment_one``'s draws are independent of the image contents
+    and shape, so equal keys yield equal transforms."""
+    levels = sorted(imgs_by_level)
+    if not training:
+        return {lvl: normalize(imgs_by_level[lvl]) for lvl in levels}
+    b = imgs_by_level[levels[0]].shape[0]
+    rngs = jax.random.split(rng, b)
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
+    std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
+    out = {}
+    for lvl in levels:
+        imgs = jax.vmap(_train_augment_one)(rngs, imgs_by_level[lvl])
+        out[lvl] = (imgs * 255.0 - mean) / std
+    return out
+
+
 def _simclr_view_one(rng, img_u8, out_size: int):
     """One SimCLR view (``src/models/simclr.py:57-66``).
 

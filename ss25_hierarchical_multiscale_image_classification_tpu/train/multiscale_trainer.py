@@ -8,6 +8,7 @@ level pyramid, which it never fuses).
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -18,6 +19,7 @@ import optax
 from ss25_hierarchical_multiscale_image_classification_tpu.config import Config
 from ss25_hierarchical_multiscale_image_classification_tpu.data.augment import (
     normalize,
+    preprocess_multiscale_batch,
 )
 from ss25_hierarchical_multiscale_image_classification_tpu.data.multiscale import (
     MultiscaleDataset,
@@ -34,6 +36,7 @@ from ss25_hierarchical_multiscale_image_classification_tpu.parallel.mesh import 
     shard_batch,
 )
 from ss25_hierarchical_multiscale_image_classification_tpu.train.checkpoints import (
+    load_model,
     model_artifact_path,
     save_model,
 )
@@ -45,6 +48,34 @@ from ss25_hierarchical_multiscale_image_classification_tpu.train.losses import (
 log = get_logger("train.multiscale")
 
 
+def warm_start_from_classifier(
+    params: dict, batch_stats: dict, clf_variables: dict
+) -> tuple[dict, dict]:
+    """Seed the fusion model from a trained single-level classifier.
+
+    The shared trunk takes the classifier's trunk (the fc-strip merge
+    semantics of the reference, ``src/models/resnet.py:27-31``); the
+    per-scale aux head takes the classifier's ``fc`` so the per-level
+    ensemble starts at the single-level model's quality. Fusion head and
+    scale embeddings stay at their fresh init."""
+    params = dict(params)
+    batch_stats = dict(batch_stats)
+    params["trunk"] = {
+        k: clf_variables["params"][k] for k in params["trunk"]
+    }
+    batch_stats["trunk"] = {
+        k: clf_variables["batch_stats"][k] for k in batch_stats["trunk"]
+    }
+    fc = clf_variables["params"].get("fc")
+    if (
+        fc is not None
+        and "aux_head" in params
+        and fc["kernel"].shape == params["aux_head"]["kernel"].shape
+    ):
+        params["aux_head"] = {k: np.asarray(v) for k, v in fc.items()}
+    return params, batch_stats
+
+
 def train_multiscale_classifier(
     cfg: Config,
     levels=(2, 3),
@@ -53,16 +84,26 @@ def train_multiscale_classifier(
     fusion: str = "concat",
     batch_size: int | None = None,
     aux_weight: float = 0.5,
+    init_from: str | None = "auto",
 ) -> dict:
     """Train the fusion classifier; writes the ``hierarchical_classifier``
     artifact and returns {"variables", "history", "calibration"}.
 
     Beyond the fusion head, per-scale auxiliary heads are deeply supervised
-    (``aux_weight`` × mean per-scale CE). After training, a slide-level val
-    split calibrates detection-grade probabilities: per-head temperature by
-    NLL and a fusion-vs-per-scale-ensemble weight by ROC-AUC
-    (``evaluation/calibration.py``); both ship inside the artifact so the
-    FROC producer emits calibrated probabilities.
+    (``aux_weight`` × mean per-scale CE). Training augmentation matches the
+    single-level trainer's (flips + k·90° + jitter, reference
+    ``src/main.py:417-425``) applied scale-consistently per cell. After
+    training, a slide-level val split calibrates detection-grade scores:
+    per-head temperature by NLL and a fusion-vs-per-scale-ensemble weight
+    by ROC-AUC (``evaluation/calibration.py``); both ship inside the
+    artifact so the FROC producer ranks calibrated log-odds.
+
+    ``init_from`` warm-starts the shared trunk (and the per-scale aux head,
+    from the stripped ``fc``) from a trained single-level classifier
+    artifact — the reference's encoder-reuse semantics
+    (``src/models/resnet.py:27-31``, ``src/main.py:851-859``) applied to
+    fusion training. ``"auto"`` uses ``resnet18_patch_classifier`` when it
+    exists; a path uses that artifact; ``None`` trains from scratch.
     """
     if dataset is None:
         dataset = MultiscaleDataset.from_patches_dir(
@@ -94,6 +135,18 @@ def train_multiscale_classifier(
     variables = model.init(jax.random.key(cfg.train.seed), init_batch,
                            train=False, with_aux=True)
     params, batch_stats = variables["params"], variables["batch_stats"]
+
+    if init_from == "auto":
+        candidate = model_artifact_path(
+            cfg.models_dir, "resnet18_patch_classifier"
+        )
+        init_from = candidate if os.path.exists(candidate) else None
+    if init_from:
+        params, batch_stats = warm_start_from_classifier(
+            params, batch_stats, load_model(init_from)
+        )
+        log.info("warm-started trunk + aux head from %s", init_from)
+
     tx = optax.adam(cfg.train.learning_rate)
     opt_state = tx.init(params)
     params = replicate(mesh, params)
@@ -107,8 +160,9 @@ def train_multiscale_classifier(
     )
 
     @jax.jit
-    def train_step(params, batch_stats, opt_state, batch_u8, labels, valid):
-        batch = {lvl: normalize(x) for lvl, x in batch_u8.items()}
+    def train_step(params, batch_stats, opt_state, rng, batch_u8, labels,
+                   valid):
+        batch = preprocess_multiscale_batch(rng, batch_u8, training=True)
 
         def loss_fn(p):
             (logits, aux), upd = model.apply(
@@ -146,6 +200,7 @@ def train_multiscale_classifier(
 
     epochs = epochs or cfg.train.strategy_epochs
     history = []
+    aug_key = jax.random.key(cfg.train.seed + 7919)
     for epoch in range(epochs):
         t0 = time.perf_counter()
         step_out = []  # device scalars; fetched once per epoch
@@ -153,10 +208,12 @@ def train_multiscale_classifier(
             batch_size, shuffle=True, seed=cfg.train.seed + epoch,
             indices=train_idx,
         ):
+            aug_key, step_key = jax.random.split(aug_key)
             batch = shard_batch(mesh, imgs)
             labels_d, valid_d = shard_batch(mesh, (labels, valid))
             params, batch_stats, opt_state, loss, c, n = train_step(
-                params, batch_stats, opt_state, batch, labels_d, valid_d
+                params, batch_stats, opt_state, step_key, batch, labels_d,
+                valid_d
             )
             step_out.append((loss, c, n))
         fetched = jax.device_get(step_out)

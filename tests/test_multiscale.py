@@ -350,3 +350,125 @@ def test_predict_multiscale_pre_calibration_artifact_falls_back(
     )
     np.testing.assert_allclose(comps["fusion"], comps["aux"], atol=1e-6)
     np.testing.assert_allclose(probs, comps["fusion"], atol=1e-6)
+
+
+def test_multiscale_augment_is_scale_consistent():
+    """The same cell's levels get the SAME flip/rotation/jitter draw: feed
+    identical pixels at both levels — augmented outputs must be identical
+    (independent draws would almost surely flip/rotate them apart)."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.data.augment import (
+        preprocess_multiscale_batch,
+    )
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (8, 32, 32, 3), np.uint8)
+    out = preprocess_multiscale_batch(
+        jax.random.key(1), {2: jnp.asarray(imgs), 3: jnp.asarray(imgs)},
+        training=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[2]), np.asarray(out[3]), atol=1e-5
+    )
+    # and it actually augments: differs from plain normalization
+    ev = preprocess_multiscale_batch(
+        jax.random.key(1), {2: jnp.asarray(imgs)}, training=False
+    )
+    assert not np.allclose(np.asarray(out[2]), np.asarray(ev[2]), atol=1e-3)
+
+
+def test_multiscale_warm_start_from_classifier():
+    """Trunk and aux head seed from a single-level classifier artifact;
+    fusion head stays fresh. Logit parity: the warm-started aux logits at
+    zero scale-embedding must equal the classifier's own logits."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.models.resnet import (
+        ResNet18Classifier,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.train.multiscale_trainer import (
+        warm_start_from_classifier,
+    )
+
+    clf = ResNet18Classifier(dtype=jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (2, 64, 64, 3), np.uint8),
+        jnp.float32,
+    )
+    clf_vars = clf.init(jax.random.key(0), x, train=False)
+
+    model = HierarchicalPatchClassifier(levels=(2, 3), dtype=jnp.float32)
+    init = {lvl: jnp.zeros((1, 64, 64, 3), jnp.float32) for lvl in (2, 3)}
+    variables = model.init(jax.random.key(1), init, train=False,
+                           with_aux=True)
+    params, batch_stats = warm_start_from_classifier(
+        dict(variables["params"]), dict(variables["batch_stats"]),
+        {"params": dict(clf_vars["params"]),
+         "batch_stats": dict(clf_vars["batch_stats"])},
+    )
+    # trunk copied exactly
+    np.testing.assert_array_equal(
+        np.asarray(params["trunk"]["stem_conv"]["kernel"]),
+        np.asarray(clf_vars["params"]["stem_conv"]["kernel"]),
+    )
+    # aux head == classifier fc
+    np.testing.assert_array_equal(
+        np.asarray(params["aux_head"]["kernel"]),
+        np.asarray(clf_vars["params"]["fc"]["kernel"]),
+    )
+    # fusion head untouched
+    np.testing.assert_array_equal(
+        np.asarray(params["head_out"]["kernel"]),
+        np.asarray(variables["params"]["head_out"]["kernel"]),
+    )
+    # functional parity: zero the scale embedding → aux logits per scale
+    # equal the classifier's logits on the same input
+    params_z = dict(params)
+    params_z["scale_embed"] = jnp.zeros_like(params["scale_embed"])
+    clf_logits = clf.apply(clf_vars, x, train=False)
+    out, aux = model.apply(
+        {"params": params_z, "batch_stats": batch_stats},
+        {2: x, 3: x}, train=False, with_aux=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux[:, 0]), np.asarray(clf_logits), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux[:, 1]), np.asarray(clf_logits), atol=1e-4
+    )
+
+
+def test_multiscale_trainer_auto_warm_start(two_level_patches, tmp_path,
+                                            synthetic_case):
+    """With a ``resnet18_patch_classifier`` artifact present, the trainer
+    auto-seeds trunk+aux from it (reference encoder-reuse semantics)."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.config import (
+        Config,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.models.resnet import (
+        ResNet18Classifier,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.train.checkpoints import (
+        model_artifact_path,
+        save_model,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.train.multiscale_trainer import (
+        train_multiscale_classifier,
+    )
+
+    models_dir = str(tmp_path / "models")
+    clf = ResNet18Classifier(dtype=jnp.float32)
+    clf_vars = clf.init(
+        jax.random.key(3), jnp.zeros((1, 64, 64, 3), jnp.float32),
+        train=False,
+    )
+    save_model(
+        model_artifact_path(models_dir, "resnet18_patch_classifier"),
+        {"params": jax.device_get(dict(clf_vars["params"])),
+         "batch_stats": jax.device_get(dict(clf_vars["batch_stats"]))},
+    )
+    cfg = Config(
+        data=DataConfig(data_dir=synthetic_case), models_dir=models_dir
+    )
+    ds = MultiscaleDataset(two_level_patches, resize_to=64)
+    result = train_multiscale_classifier(
+        cfg, dataset=ds, epochs=1, batch_size=8
+    )
+    assert np.isfinite(result["history"][0]["loss"])
