@@ -207,37 +207,190 @@ def resize(img, out_size: int):
 # ---------------------------------------------------------------------------
 
 
-def _train_augment_one(rng, img_u8):
-    """One training example: flips + k·90° rotation + jitter(0.2,0.2,0.2,0.1).
+# ---------------------------------------------------------------------------
+# Fused batched training augmentation
+#
+# The per-example reference pipeline (``_augment_one_with_params``) is ~25
+# HBM-bound elementwise passes per image (hue's YIQ round trip alone is
+# 12 channel combines), and under vmap its ``lax.switch`` rotation
+# materializes all four branches. At B=512x224² that measured ~24 ms —
+# about half the whole train step. The fused path exploits two algebraic
+# facts to collapse it to ~4 passes:
+#
+# 1. flips + k·90° rotations generate the dihedral group D4, every element
+#    of which is (transpose?) ∘ (x-reverse?) ∘ (y-reverse?) — so the
+#    data-dependent geometric transform is ONE batched transpose plus two
+#    fused selects over reversed views, not a 4-way materialized switch;
+# 2. brightness/contrast/saturation/hue are jointly affine per pixel:
+#    out = a·(R_hue @ M_sat) @ rgb + c·1 with a = fb·fc and
+#    c = (1−fc)·fb·mean(img) (each 3x3 maps 1→1, so the contrast offset
+#    stays scalar). One f32 mean reduction + one fused affine/clip/
+#    normalize pass replaces the whole jitter chain.
+#
+# ``_augment_one_with_params`` keeps the reference op chain for the parity
+# test (``tests/test_augment.py``); both paths consume the same sampled
+# parameter set.
+# ---------------------------------------------------------------------------
 
-    Computes in bfloat16: the pipeline is ~20 elementwise passes over the
-    image (hue's YIQ round-trip alone is 12 channel combines) and purely
-    HBM-bound, so halving the element width nearly halves its cost
-    (measured 43 → ~24 ms per 512×224² batch); an 8-bit source doesn't
-    carry more precision than bf16 anyway, and reductions stay f32
-    (``_adjust_contrast``)."""
-    k_h, k_v, k_r, k_j = jax.random.split(rng, 4)
+
+def _d4_tables():
+    """Brute-force the (hflip, vflip, rot_k) → (transpose, xrev, yrev)
+    composition table with numpy at import time."""
+    probe = _np.arange(16.0).reshape(4, 4)
+
+    def old(h, v, k):
+        x = probe[:, ::-1] if h else probe
+        x = x[::-1] if v else x
+        return _np.rot90(x, k)
+
+    def rep(t, fx, fy):
+        x = probe.T if t else probe
+        x = x[:, ::-1] if fx else x
+        return x[::-1] if fy else x
+
+    t_tab = _np.zeros((2, 2, 4), _np.int32)
+    fx_tab = _np.zeros((2, 2, 4), _np.int32)
+    fy_tab = _np.zeros((2, 2, 4), _np.int32)
+    for h in range(2):
+        for v in range(2):
+            for k in range(4):
+                want = old(h, v, k)
+                matches = [
+                    (t, fx, fy)
+                    for t in range(2)
+                    for fx in range(2)
+                    for fy in range(2)
+                    if _np.array_equal(rep(t, fx, fy), want)
+                ]
+                if not matches:
+                    raise AssertionError("D4 decomposition failed")
+                t_tab[h, v, k], fx_tab[h, v, k], fy_tab[h, v, k] = matches[0]
+    return t_tab, fx_tab, fy_tab
+
+
+_D4_T, _D4_FX, _D4_FY = _d4_tables()
+
+
+def sample_augment_params(
+    rng, b: int, brightness: float = 0.2, contrast: float = 0.2,
+    saturation: float = 0.2, hue: float = 0.1,
+) -> dict:
+    """Per-example augmentation draws for a batch of ``b`` images."""
+    kh, kv, kr, kb, kc, ks, khue = jax.random.split(rng, 7)
+    return {
+        "h": jax.random.bernoulli(kh, shape=(b,)),
+        "v": jax.random.bernoulli(kv, shape=(b,)),
+        "k": jax.random.randint(kr, (b,), 0, 4),
+        "fb": jax.random.uniform(
+            kb, (b,), minval=max(0.0, 1 - brightness), maxval=1 + brightness
+        ),
+        "fc": jax.random.uniform(
+            kc, (b,), minval=max(0.0, 1 - contrast), maxval=1 + contrast
+        ),
+        "fs": jax.random.uniform(
+            ks, (b,), minval=max(0.0, 1 - saturation), maxval=1 + saturation
+        ),
+        "fh": jax.random.uniform(khue, (b,), minval=-hue, maxval=hue),
+    }
+
+
+def _jitter_affine(params, m0):
+    """Compose the per-example color maps: (B,3,3) matrix + (B,) bias, f32.
+
+    ``m0`` is the per-image mean of the [0,1] input. Derivation: after
+    brightness x1 = fb·x (mean m1 = fb·m0), contrast gives
+    x2 = fc·x1 + (1−fc)·m1·1; saturation multiplies by
+    M_s = fs·I + (1−fs)·G (G = ones/3, channel mean) and hue by
+    R = RGB←YIQ · rot(2π·fh) · YIQ←RGB. Both fix the all-ones vector, so
+    out = (fb·fc)·(R@M_s)@x + (1−fc)·fb·m0·1."""
+    fb = params["fb"].astype(jnp.float32)
+    fc = params["fc"].astype(jnp.float32)
+    fs = params["fs"].astype(jnp.float32)
+    theta = params["fh"].astype(jnp.float32) * 2.0 * jnp.pi
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    eye = jnp.eye(3, dtype=jnp.float32)
+    g = jnp.full((3, 3), 1.0 / 3.0, jnp.float32)
+    m_sat = fs[:, None, None] * eye + (1.0 - fs)[:, None, None] * g
+    zero = jnp.zeros_like(cos)
+    one = jnp.ones_like(cos)
+    rot = jnp.stack(
+        [
+            jnp.stack([one, zero, zero], -1),
+            jnp.stack([zero, cos, -sin], -1),
+            jnp.stack([zero, sin, cos], -1),
+        ],
+        -2,
+    )  # (B,3,3) chroma-plane rotation in YIQ
+    to_yiq = jnp.asarray(_YIQ_FROM_RGB_64, jnp.float32)
+    from_yiq = jnp.asarray(_RGB_FROM_YIQ_64, jnp.float32)
+    r_hue = jnp.einsum("ij,bjk,kl->bil", from_yiq, rot, to_yiq)
+    m = jnp.einsum("bij,bjk->bik", r_hue, m_sat) * (fb * fc)[:, None, None]
+    bias = (1.0 - fc) * fb * m0.astype(jnp.float32)
+    return m, bias
+
+
+def augment_batch(params: dict, imgs_u8, dtype=jnp.bfloat16):
+    """Fused batched train augmentation: uint8 (B,H,W,3), H==W →
+    ImageNet-normalized float32. Numerically matches the reference chain
+    (``_augment_one_with_params``) within ``dtype`` tolerance."""
+    h = params["h"].astype(jnp.int32)
+    v = params["v"].astype(jnp.int32)
+    k = params["k"]
+    t = jnp.asarray(_D4_T)[h, v, k].astype(bool)
+    fx = jnp.asarray(_D4_FX)[h, v, k].astype(bool)
+    fy = jnp.asarray(_D4_FY)[h, v, k].astype(bool)
+    x = imgs_u8
+    xt = jnp.swapaxes(x, 1, 2)
+    x = jnp.where(t[:, None, None, None], xt, x)
+    x = jnp.where(fx[:, None, None, None], x[:, :, ::-1], x)
+    x = jnp.where(fy[:, None, None, None], x[:, ::-1], x)
+
+    # per-image mean of the [0,1] image, reduced in f32
+    m0 = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3)) / 255.0
+    m, bias = _jitter_affine(params, m0)
+    md = m.astype(dtype)
+    biasd = bias.astype(dtype)
+    xd = x.astype(dtype) * jnp.asarray(1.0 / 255.0, dtype)
+    r, g, b3 = xd[..., 0], xd[..., 1], xd[..., 2]
+
+    def chan(d):
+        c = (
+            md[:, d, 0, None, None] * r
+            + md[:, d, 1, None, None] * g
+            + md[:, d, 2, None, None] * b3
+            + biasd[:, None, None]
+        )
+        c = jnp.clip(c, 0.0, 1.0).astype(jnp.float32)
+        return (c * 255.0 - IMAGENET_MEAN[d] * 255.0) / (
+            IMAGENET_STD[d] * 255.0
+        )
+
+    return jnp.stack([chan(0), chan(1), chan(2)], axis=-1)
+
+
+def _augment_one_with_params(img_u8, h, v, k, fb, fc, fs, fh):
+    """Reference per-example chain (flips → rot90 → jitter), driven by an
+    explicit parameter set — the parity oracle for ``augment_batch``."""
     img = img_u8.astype(jnp.bfloat16) / 255.0
-    img = jnp.where(jax.random.bernoulli(k_h), img[:, ::-1], img)
-    img = jnp.where(jax.random.bernoulli(k_v), img[::-1], img)
-    img = _rot90_k(img, jax.random.randint(k_r, (), 0, 4))
-    img = color_jitter(k_j, img, 0.2, 0.2, 0.2, 0.1)
-    return img
+    img = jnp.where(h, img[:, ::-1], img)
+    img = jnp.where(v, img[::-1], img)
+    img = _rot90_k(img, k)
+    img = _adjust_brightness(img, fb.astype(img.dtype))
+    img = _adjust_contrast(img, fc.astype(img.dtype))
+    img = _adjust_saturation(img, fs.astype(img.dtype))
+    img = _adjust_hue(img, fh)
+    return jnp.clip(img, 0.0, 1.0)
 
 
 @functools.partial(jax.jit, static_argnames=("training",))
 def preprocess_batch(rng, imgs_u8, training: bool = True):
     """uint8 (B,224,224,3) → normalized float32 (B,224,224,3).
 
-    Training: random augmentation per example; eval: normalize only
-    (``src/main.py:417-431``)."""
+    Training: random augmentation per example via the fused batched path;
+    eval: normalize only (``src/main.py:417-431``)."""
     if training:
-        rngs = jax.random.split(rng, imgs_u8.shape[0])
-        imgs = jax.vmap(_train_augment_one)(rngs, imgs_u8)
-        imgs = imgs * 255.0
-        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
-        std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
-        return (imgs - mean) / std
+        params = sample_augment_params(rng, imgs_u8.shape[0])
+        return augment_batch(params, imgs_u8)
     return normalize(imgs_u8)
 
 
@@ -252,36 +405,102 @@ def preprocess_multiscale_batch(rng, imgs_by_level: dict,
     ``src/main.py:614``), so the same flip / k·90° rotation keeps them
     geometrically aligned, and sharing the color-jitter draw keeps the
     stain appearance coherent across magnifications. Implemented by
-    reusing the SAME per-example rng for every level —
-    ``_train_augment_one``'s draws are independent of the image contents
-    and shape, so equal keys yield equal transforms."""
+    sampling ONE parameter set and applying it to every level's batch
+    (``augment_batch`` is deterministic given the params)."""
     levels = sorted(imgs_by_level)
     if not training:
         return {lvl: normalize(imgs_by_level[lvl]) for lvl in levels}
     b = imgs_by_level[levels[0]].shape[0]
-    rngs = jax.random.split(rng, b)
-    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
-    std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
-    out = {}
-    for lvl in levels:
-        imgs = jax.vmap(_train_augment_one)(rngs, imgs_by_level[lvl])
-        out[lvl] = (imgs * 255.0 - mean) / std
-    return out
+    params = sample_augment_params(rng, b)
+    return {lvl: augment_batch(params, imgs_by_level[lvl]) for lvl in levels}
 
 
-def _simclr_view_one(rng, img_u8, out_size: int):
-    """One SimCLR view (``src/models/simclr.py:57-66``).
-
-    bf16 pipeline (reductions/coordinates stay f32) — same HBM-bound
-    rationale as ``_train_augment_one``."""
-    k_crop, k_h, k_jp, k_j, k_gp = jax.random.split(rng, 5)
+def _simclr_view_one_with_params(crop_rng, img_u8, out_size: int,
+                                 h, jp, gp, fb, fc, fs, fh):
+    """Reference per-example SimCLR view chain
+    (``src/models/simclr.py:57-66``) driven by explicit color/flip
+    parameters — the parity oracle for the fused batched view path.
+    Returns the UNNORMALIZED [0,1] view."""
     img = img_u8.astype(jnp.bfloat16) / 255.0
-    img = random_resized_crop(k_crop, img, out_size)
-    img = jnp.where(jax.random.bernoulli(k_h), img[:, ::-1], img)
-    jittered = color_jitter(k_j, img, 0.4, 0.4, 0.4, 0.1)
-    img = jnp.where(jax.random.bernoulli(k_jp, 0.8), jittered, img)
-    img = jnp.where(jax.random.bernoulli(k_gp, 0.2), _grayscale(img), img)
+    img = random_resized_crop(crop_rng, img, out_size)
+    img = jnp.where(h, img[:, ::-1], img)
+    j = _adjust_brightness(img, fb.astype(img.dtype))
+    j = _adjust_contrast(j, fc.astype(img.dtype))
+    j = _adjust_saturation(j, fs.astype(img.dtype))
+    j = _adjust_hue(j, fh)
+    j = jnp.clip(j, 0.0, 1.0)
+    img = jnp.where(jp, j, img)
+    img = jnp.where(gp, _grayscale(img), img)
     return img
+
+
+def sample_simclr_view_params(rng, b: int) -> dict:
+    """Per-example draws for one SimCLR view batch: hflip@0.5, jitter@0.8
+    with ColorJitter(0.4,0.4,0.4,0.1) factors, grayscale@0.2."""
+    kh, kjp, kgp, kb, kc, ks, khue = jax.random.split(rng, 7)
+    return {
+        "h": jax.random.bernoulli(kh, shape=(b,)),
+        "jp": jax.random.bernoulli(kjp, 0.8, shape=(b,)),
+        "gp": jax.random.bernoulli(kgp, 0.2, shape=(b,)),
+        "fb": jax.random.uniform(kb, (b,), minval=0.6, maxval=1.4),
+        "fc": jax.random.uniform(kc, (b,), minval=0.6, maxval=1.4),
+        "fs": jax.random.uniform(ks, (b,), minval=0.6, maxval=1.4),
+        "fh": jax.random.uniform(khue, (b,), minval=-0.1, maxval=0.1),
+    }
+
+
+def _apply_color_affine(m, bias, x, dtype=jnp.bfloat16):
+    """(B,3,3) matrix + (B,) or (B,3) bias applied per pixel, in ``dtype``."""
+    md = m.astype(dtype)
+    b2 = bias.astype(dtype)
+    if b2.ndim == 1:
+        b2 = b2[:, None]
+    r, g, b3 = x[..., 0], x[..., 1], x[..., 2]
+    return jnp.stack(
+        [
+            md[:, d, 0, None, None] * r
+            + md[:, d, 1, None, None] * g
+            + md[:, d, 2, None, None] * b3
+            + b2[:, d % b2.shape[1], None, None]
+            for d in range(3)
+        ],
+        axis=-1,
+    )
+
+
+def simclr_view_batch(crop_rngs, params: dict, imgs_u8, out_size: int):
+    """Fused batched SimCLR view: per-example crop (gather-bound, vmapped)
+    then ONE geometric select and TWO fused color passes — (jitter-affine
+    → clip) and ((grayscale∘normalize)-affine) — instead of the ~25-pass
+    per-example chain. Parity-tested against
+    ``_simclr_view_one_with_params`` + normalize."""
+    b = imgs_u8.shape[0]
+    x = jax.vmap(random_resized_crop, in_axes=(0, 0, None))(
+        crop_rngs, imgs_u8.astype(jnp.bfloat16) / 255.0, out_size
+    )
+    x = jnp.where(params["h"][:, None, None, None], x[:, :, ::-1], x)
+
+    # pass 1: jitter-or-identity affine, then clip (the reference chain
+    # clips only the jittered branch, but the plain branch lives in [0,1]
+    # already — a convex bilinear blend of [0,1] pixels — so one shared
+    # clip is semantics-preserving)
+    m0 = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))
+    mj, bj = _jitter_affine(params, m0)
+    jp = params["jp"]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (b, 3, 3))
+    m1 = jnp.where(jp[:, None, None], mj, eye)
+    b1 = jnp.where(jp, bj, 0.0)
+    x = jnp.clip(_apply_color_affine(m1, b1, x), 0.0, 1.0)
+
+    # pass 2: (grayscale-or-identity) folded into ImageNet normalization
+    w_luma = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
+    gmat = jnp.broadcast_to(w_luma[None, None, :], (b, 3, 3))
+    m2 = jnp.where(params["gp"][:, None, None], gmat, eye)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    m2 = m2 / std[None, :, None]
+    e = jnp.broadcast_to((-mean / std)[None, :], (b, 3))
+    return _apply_color_affine(m2, e, x, dtype=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("out_size",))
@@ -289,10 +508,11 @@ def simclr_two_views(rng, imgs_u8, out_size: int = 224):
     """uint8 (B,H,W,3) → two independently augmented normalized views
     ((B,out,out,3) float32 each) of every example."""
     B = imgs_u8.shape[0]
-    rngs = jax.random.split(rng, 2 * B).reshape(2, B)
-    view = jax.vmap(_simclr_view_one, in_axes=(0, 0, None))
-    v1 = view(rngs[0], imgs_u8, out_size)
-    v2 = view(rngs[1], imgs_u8, out_size)
-    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-    std = jnp.asarray(IMAGENET_STD, jnp.float32)
-    return (v1 - mean) / std, (v2 - mean) / std
+    k1, k2, kp1, kp2 = jax.random.split(rng, 4)
+    crop1 = jax.random.split(k1, B)
+    crop2 = jax.random.split(k2, B)
+    v1 = simclr_view_batch(crop1, sample_simclr_view_params(kp1, B),
+                           imgs_u8, out_size)
+    v2 = simclr_view_batch(crop2, sample_simclr_view_params(kp2, B),
+                           imgs_u8, out_size)
+    return v1, v2

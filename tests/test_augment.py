@@ -72,3 +72,103 @@ def test_simclr_two_views_differ():
     v1, v2 = simclr_two_views(jax.random.key(0), jnp.asarray(imgs), out_size=32)
     assert v1.shape == v2.shape == (2, 32, 32, 3)
     assert not np.allclose(np.asarray(v1), np.asarray(v2))
+
+
+def test_fused_augment_matches_reference_chain():
+    """The fused batched augment (D4 decomposition + composed color affine)
+    must match the per-example op chain driven by the same parameters,
+    within bf16 tolerance, across all 16 geometric combinations."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.config import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.data.augment import (
+        _augment_one_with_params,
+        augment_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    b = 16
+    imgs = rng.integers(0, 256, (b, 32, 32, 3), np.uint8)
+    params = {
+        "h": jnp.asarray(([0, 1] * 8)[:b], bool),
+        "v": jnp.asarray(([0, 0, 1, 1] * 4)[:b], bool),
+        "k": jnp.asarray(list(range(4)) * 4)[:b],
+        "fb": jnp.asarray(rng.uniform(0.8, 1.2, b), jnp.float32),
+        "fc": jnp.asarray(rng.uniform(0.8, 1.2, b), jnp.float32),
+        "fs": jnp.asarray(rng.uniform(0.8, 1.2, b), jnp.float32),
+        "fh": jnp.asarray(rng.uniform(-0.1, 0.1, b), jnp.float32),
+    }
+    fused = np.asarray(augment_batch(params, jnp.asarray(imgs)))
+
+    mean = np.asarray(IMAGENET_MEAN) * 255.0
+    std = np.asarray(IMAGENET_STD) * 255.0
+    for i in range(b):
+        ref = _augment_one_with_params(
+            jnp.asarray(imgs[i]), params["h"][i], params["v"][i],
+            params["k"][i], params["fb"][i], params["fc"][i],
+            params["fs"][i], params["fh"][i],
+        )
+        ref = (np.asarray(ref, np.float32) * 255.0 - mean) / std
+        np.testing.assert_allclose(fused[i], ref, atol=0.15)
+
+
+def test_preprocess_batch_distribution_sane():
+    """Augmented output stays in the normalized range of [0,1] images."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.config import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.data.augment import (
+        preprocess_batch,
+    )
+
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.integers(0, 256, (8, 32, 32, 3), np.uint8))
+    out = np.asarray(preprocess_batch(jax.random.key(5), imgs, training=True))
+    lo = (0.0 - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+    hi = (1.0 - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+    assert np.isfinite(out).all()
+    assert (out >= lo - 1e-2).all() and (out <= hi + 1e-2).all()
+
+
+def test_fused_simclr_view_matches_reference_chain():
+    """Fused batched SimCLR view == per-example chain (same crop rng and
+    color params), post-normalization, within bf16 tolerance — including
+    the jitter@0.8 / grayscale@0.2 stochastic branches."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.config import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.data.augment import (
+        _simclr_view_one_with_params,
+        simclr_view_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    b = 12
+    imgs = rng.integers(0, 256, (b, 48, 48, 3), np.uint8)
+    params = {
+        "h": jnp.asarray(([0, 1] * 6)[:b], bool),
+        "jp": jnp.asarray(([1, 1, 1, 0] * 3)[:b], bool),
+        "gp": jnp.asarray(([0, 0, 1] * 4)[:b], bool),
+        "fb": jnp.asarray(rng.uniform(0.6, 1.4, b), jnp.float32),
+        "fc": jnp.asarray(rng.uniform(0.6, 1.4, b), jnp.float32),
+        "fs": jnp.asarray(rng.uniform(0.6, 1.4, b), jnp.float32),
+        "fh": jnp.asarray(rng.uniform(-0.1, 0.1, b), jnp.float32),
+    }
+    crop_rngs = jax.random.split(jax.random.key(2), b)
+    fused = np.asarray(
+        simclr_view_batch(crop_rngs, params, jnp.asarray(imgs), 32)
+    )
+    mean = np.asarray(IMAGENET_MEAN)
+    std = np.asarray(IMAGENET_STD)
+    for i in range(b):
+        ref = _simclr_view_one_with_params(
+            crop_rngs[i], jnp.asarray(imgs[i]), 32,
+            params["h"][i], params["jp"][i], params["gp"][i],
+            params["fb"][i], params["fc"][i], params["fs"][i],
+            params["fh"][i],
+        )
+        ref = (np.asarray(ref, np.float32) - mean) / std
+        np.testing.assert_allclose(fused[i], ref, atol=0.15)
