@@ -201,11 +201,12 @@ def predict_slide_multiscale(
     the data axis — the slide's multiscale grid runs spatially
     data-parallel over ICI, like the single-level producer.
 
-    ``combine`` selects the reported probability: ``"auto"`` (the
-    artifact's calibrated fusion/per-scale ensemble — falls back to
-    fusion-only for pre-calibration artifacts), ``"ensemble"``,
-    ``"fusion"``, or ``"aux"`` (per-scale mean, the per-level-probability
-    ensemble baseline). All three surfaces are computed in ONE pass over
+    ``combine`` selects the reported probability: ``"auto"`` (the surface
+    the artifact's calibration selected by its detection-grade val
+    criterion — falls back to fusion-only for pre-calibration artifacts),
+    ``"ensemble"``, ``"fusion"``, or ``"aux"`` (per-scale mean, the
+    per-level-probability ensemble baseline). All three surfaces are
+    computed in ONE pass over
     the slide (they share the trunk); ``return_components=True``
     additionally returns ``{"ensemble"|"fusion"|"aux": (ny, nx)}``.
 
@@ -251,9 +252,19 @@ def predict_slide_multiscale(
         )
         if combine not in ("auto", "ensemble", "fusion", "aux"):
             raise ValueError(f"unknown combine mode {combine!r}")
-        if not has_aux and combine in ("auto", "ensemble", "aux"):
+        if combine == "auto":
+            # the artifact's calibration picks its default surface by a
+            # detection-grade criterion (train/multiscale_trainer.py →
+            # evaluation.calibration.pick_combine_mode); artifacts from
+            # before mode selection shipped ensemble scores in column 0
+            from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.calibration import (
+                decode_combine,
+            )
+
+            combine = decode_combine(calibration.get("combine", "ensemble"))
+        if not has_aux and combine in ("ensemble", "aux"):
             combine = "fusion"  # pre-calibration artifact: fusion only
-        col = {"auto": 0, "ensemble": 0, "fusion": 1, "aux": 2}[combine]
+        col = {"ensemble": 0, "fusion": 1, "aux": 2}[combine]
         step_kw = dict(
             temperature=temperature, aux_temperature=aux_temperature,
             ensemble_weight=ensemble_weight, with_aux=has_aux,

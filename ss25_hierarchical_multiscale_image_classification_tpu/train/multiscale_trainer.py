@@ -230,7 +230,7 @@ def train_multiscale_classifier(
     # ---- post-hoc calibration on the held-out slides -----------------
     from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.calibration import (
         fit_temperature,
-        pick_ensemble_weight,
+        pick_combine_mode,
     )
 
     val_logits, val_aux, val_labels = [], [], []
@@ -244,11 +244,16 @@ def train_multiscale_classifier(
         val_aux.append(np.asarray(aux)[keep])
         val_labels.append(labels[keep])
     calibration = {"temperature": 1.0, "aux_temperature": 1.0,
-                   "ensemble_weight": 0.5}
+                   "ensemble_weight": 1.0, "combine": "fusion"}
     if val_logits:
         logits = np.concatenate(val_logits)
         aux = np.concatenate(val_aux)
         labels_np = np.concatenate(val_labels)
+        # shuffle=False iterates val_idx in order and `keep` masks the
+        # wrap-pad, so kept rows align 1:1 with val_idx
+        slides_np = np.array(
+            [dataset.samples[int(i)].slide for i in val_idx]
+        )[: len(labels_np)]
         s = aux.shape[1]
         t_fusion = fit_temperature(logits, labels_np)
         t_aux = fit_temperature(
@@ -258,21 +263,35 @@ def train_multiscale_classifier(
         # mix in calibrated LOG-ODDS space — the exact space the producer
         # ranks detections in (``infer/multiscale._combine_scores``);
         # probability-space mixing saturates confident cells to exact-1.0
-        # float ties, which collapses the FROC consumer's ranking
+        # float ties, which collapses the FROC consumer's ranking.
+        # The shipped default surface is selected by a detection-grade
+        # criterion (sensitivity at fixed FP-per-slide rates), NOT pooled
+        # AUC — see ``evaluation.calibration.patch_froc_proxy``.
         m_fusion = (logits[:, 1] - logits[:, 0]) / t_fusion
         m_aux = ((aux[:, :, 1] - aux[:, :, 0]) / t_aux).mean(axis=1)
-        w, auc = pick_ensemble_weight(m_fusion, m_aux, labels_np)
+        mode, w, proxies = pick_combine_mode(
+            m_fusion, m_aux, labels_np, slides_np
+        )
         calibration = {
             "temperature": float(t_fusion),
             "aux_temperature": float(t_aux),
             "ensemble_weight": float(w),
+            "combine": mode,
         }
-        log.info("calibration: %s (val AUC %.4f)", calibration, auc)
+        log.info("calibration: %s (proxies %s)", calibration, proxies)
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.calibration import (
+        encode_combine,
+    )
 
     out = {
         "params": jax.device_get(params),
         "batch_stats": jax.device_get(batch_stats),
-        "calibration": calibration,
+        # Orbax trees can't carry strings — the mode ships as its score
+        # column index (decode_combine restores it at load)
+        "calibration": {
+            **calibration, "combine": encode_combine(calibration["combine"])
+        },
     }
     save_model(
         model_artifact_path(cfg.models_dir, "hierarchical_classifier"), out

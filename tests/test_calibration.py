@@ -94,3 +94,89 @@ def test_pick_ensemble_weight_averages_identical_heads():
     p = 0.7 * labels + 0.3 * rng.uniform(size=400)
     w, _ = pick_ensemble_weight(p, p, labels)
     assert w == pytest.approx(0.5)  # tie prefers the variance-reducing mean
+
+
+def test_patch_froc_proxy_perfect_and_random():
+    from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.calibration import (
+        patch_froc_proxy,
+    )
+
+    rng = np.random.default_rng(5)
+    labels = np.array([1] * 50 + [0] * 450)
+    slides = np.array([f"s{i % 10}" for i in range(500)])
+    perfect = labels + rng.uniform(0, 0.1, 500)
+    assert patch_froc_proxy(perfect, labels, slides) == 1.0
+    random = rng.normal(0, 1, 500)
+    assert patch_froc_proxy(random, labels, slides) < 0.5
+    # all-negative degenerate
+    assert patch_froc_proxy(random, np.zeros(500, int), slides) == 0.0
+
+
+def test_patch_froc_proxy_punishes_high_ranking_negatives():
+    """A score whose negatives have a heavy right tail loses the proxy even
+    when its bulk separation (AUC) is better — the failure mode pooled-AUC
+    selection shipped in round 3's second multiscale run."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.calibration import (
+        patch_froc_proxy,
+    )
+
+    rng = np.random.default_rng(6)
+    n_pos, n_neg = 200, 2000
+    labels = np.array([1] * n_pos + [0] * n_neg)
+    slides = np.array([f"s{i % 8}" for i in range(n_pos + n_neg)])
+    # clean: moderate separation, well-behaved tail
+    clean = np.concatenate(
+        [rng.normal(1.5, 1.0, n_pos), rng.normal(0, 1.0, n_neg)]
+    )
+    # tailed: better bulk separation, but 3% of negatives score above
+    # nearly every positive
+    neg = rng.normal(0, 0.6, n_neg)
+    outliers = rng.choice(n_neg, n_neg * 3 // 100, replace=False)
+    neg[outliers] = rng.normal(6.0, 0.2, len(outliers))
+    tailed = np.concatenate([rng.normal(2.2, 0.6, n_pos), neg])
+    assert roc_auc(tailed, labels) > roc_auc(clean, labels)
+    assert patch_froc_proxy(clean, labels, slides) > patch_froc_proxy(
+        tailed, labels, slides
+    )
+
+
+def test_pick_combine_mode_selects_detection_grade_winner():
+    from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.calibration import (
+        pick_combine_mode,
+    )
+
+    rng = np.random.default_rng(7)
+    n_pos, n_neg = 200, 2000
+    labels = np.array([1] * n_pos + [0] * n_neg)
+    slides = np.array([f"s{i % 8}" for i in range(n_pos + n_neg)])
+    m_fusion = np.concatenate(
+        [rng.normal(2.0, 1.0, n_pos), rng.normal(0, 1.0, n_neg)]
+    )
+    neg = rng.normal(0, 0.6, n_neg)
+    outliers = rng.choice(n_neg, n_neg * 3 // 100, replace=False)
+    neg[outliers] = rng.normal(6.0, 0.2, len(outliers))
+    m_aux = np.concatenate([rng.normal(2.2, 0.6, n_pos), neg])
+    mode, w, proxies = pick_combine_mode(m_fusion, m_aux, labels, slides)
+    assert set(proxies) == {"fusion", "ensemble", "aux"}
+    assert proxies["fusion"] > proxies["aux"]
+    # whatever wins, the shipped (mode, w) must attain the max proxy
+    assert proxies[mode] == max(proxies.values())
+    if mode == "fusion":
+        assert w == 1.0
+    elif mode == "aux":
+        assert w == 0.0
+    # and aux must never be selected here
+    assert mode != "aux"
+
+
+def test_pick_combine_mode_identical_heads_prefer_fusion():
+    from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.calibration import (
+        pick_combine_mode,
+    )
+
+    rng = np.random.default_rng(8)
+    labels = rng.integers(0, 2, 400)
+    slides = np.array([f"s{i % 4}" for i in range(400)])
+    m = rng.normal(0, 1, 400) + 2.0 * labels
+    mode, w, _ = pick_combine_mode(m, m.copy(), labels, slides)
+    assert mode == "fusion" and w == 1.0

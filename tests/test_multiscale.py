@@ -130,6 +130,10 @@ def test_multiscale_trainer_end_to_end(two_level_patches, tmp_path, synthetic_ca
     )
     assert result["levels"] == (2, 3)
     assert np.isfinite(result["history"][0]["loss"])
+    # the artifact ships a detection-grade-selected default surface
+    cal = result["calibration"]
+    assert cal["combine"] in ("fusion", "ensemble", "aux")
+    assert 0.0 <= cal["ensemble_weight"] <= 1.0
     import os
 
     assert os.path.exists(
@@ -472,3 +476,35 @@ def test_multiscale_trainer_auto_warm_start(two_level_patches, tmp_path,
         cfg, dataset=ds, epochs=1, batch_size=8
     )
     assert np.isfinite(result["history"][0]["loss"])
+
+
+def test_predict_multiscale_auto_honors_calibrated_combine(synthetic_case):
+    """combine="auto" must report the surface the artifact's calibration
+    selected (round-3 fix: pooled-AUC ensemble selection shipped a default
+    surface that lost to its own fusion component on test FROC)."""
+    import os
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.multiscale import (
+        predict_slide_multiscale,
+    )
+
+    model = HierarchicalPatchClassifier(levels=(2, 3), dtype=jnp.float32)
+    s = 64
+    init = {lvl: jnp.zeros((1, s, s, 3), jnp.float32) for lvl in (2, 3)}
+    variables = dict(
+        model.init(jax.random.key(0), init, train=False, with_aux=True)
+    )
+    variables["calibration"] = {
+        "temperature": 2.0, "aux_temperature": 1.5,
+        "ensemble_weight": 1.0, "combine": "fusion",
+    }
+    slide_path = os.path.join(
+        synthetic_case, "train", "img", "tumor_001.wsi.npz"
+    )
+    kw = dict(levels=(2, 3), stride=112, batch_size=4, model=model,
+              input_size=s)
+    probs, _grid, comps = predict_slide_multiscale(
+        slide_path, variables, return_components=True, **kw
+    )
+    np.testing.assert_allclose(probs, comps["fusion"], atol=1e-6)
+    assert not np.allclose(comps["fusion"], comps["aux"])
