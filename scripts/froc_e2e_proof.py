@@ -142,18 +142,26 @@ def main() -> None:
     ap.add_argument("--skip_multiscale", action="store_true")
     ap.add_argument("--skip_int8", action="store_true")
     ap.add_argument("--skip_mining", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="pick up a run that died mid-proof: keep the root, "
+                         "load the checkpointed report from --out, and skip "
+                         "every phase whose result is already recorded")
     ap.add_argument("--out", default=None,
                     help="report path (default docs/proofs/froc_e2e_report.json)")
     a = ap.parse_args()
 
+    if a.resume:
+        a.keep = True
     if os.path.exists(a.root) and not a.keep:
         shutil.rmtree(a.root)
     os.makedirs(a.root, exist_ok=True)
     models = os.path.join(a.root, "models")
     # slides/masks are reusable across runs (--keep); derived artifacts
     # (patch stores, checkpoints, CSVs) are not — always start them fresh
-    for sub in ("patches", "models"):
-        shutil.rmtree(os.path.join(a.root, sub), ignore_errors=True)
+    # (unless resuming, where they ARE the recovered state)
+    if not a.resume:
+        for sub in ("patches", "models"):
+            shutil.rmtree(os.path.join(a.root, sub), ignore_errors=True)
 
     fabricate(a.root)
 
@@ -188,6 +196,16 @@ def main() -> None:
     out_path = a.out or os.path.join(
         REPO, "docs", "proofs", "froc_e2e_report.json"
     )
+    if a.resume and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        # phase results recorded before the crash are authoritative;
+        # static header fields keep the current script's wording
+        report = {**prior, **report}
+        done = [k for k in ("seconds_patch", "float", "int8", "multiscale",
+                            "multiscale_int8", "after_hard_negative_mining")
+                if k in report]
+        print(f"[resume] recovered phases: {done}")
 
     def checkpoint():
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
@@ -196,20 +214,13 @@ def main() -> None:
         print(json.dumps(report))
 
     # ---- phase 1: extraction (both levels; strides align at 896 L0 px) --
-    t = cli(["--patch", "--patch_level", "3", "--stride", "112"],
-            a.root, models)
-    t += cli(["--patch", "--patch_level", "2", "--stride", "224"],
-             a.root, models)
-    report["seconds_patch"] = round(t, 1)
-    print(f"[patch] {t:.1f}s")
-
-    # ---- phase 2: float training + detection + FROC --------------------
-    t_train = cli(
-        ["--train", "--patch_level", "3", "--epochs", "10",
-         "--batch_size", "32"], a.root, models,
-    )
-    report["seconds_train"] = round(t_train, 1)
-    print(f"[train] {t_train:.1f}s")
+    if "seconds_patch" not in report:
+        t = cli(["--patch", "--patch_level", "3", "--stride", "112"],
+                a.root, models)
+        t += cli(["--patch", "--patch_level", "2", "--stride", "224"],
+                 a.root, models)
+        report["seconds_patch"] = round(t, 1)
+        print(f"[patch] {t:.1f}s")
 
     # THE one command: fleet producer over all 48 test slides + official
     # FROC evaluation in a single CLI invocation. stride 56 at level 3 =
@@ -217,15 +228,25 @@ def main() -> None:
     one_cmd = ["--predict_slide", os.path.join(a.root, "test", "img"),
                "--run_evaluation", "--patch_level", "3",
                "--stride", "56", "--batch_size", "128"]
-    t_eval = cli(one_cmd, a.root, models)
-    report["float"] = {**froc(),
-                       "seconds_predict_plus_froc_one_command":
-                       round(t_eval, 1)}
-    print(f"[float predict+froc] {t_eval:.1f}s → {report['float']}")
-    checkpoint()
+
+    # ---- phase 2: float training + detection + FROC --------------------
+    if "float" not in report:
+        t_train = cli(
+            ["--train", "--patch_level", "3", "--epochs", "10",
+             "--batch_size", "32"], a.root, models,
+        )
+        report["seconds_train"] = round(t_train, 1)
+        print(f"[train] {t_train:.1f}s")
+
+        t_eval = cli(one_cmd, a.root, models)
+        report["float"] = {**froc(),
+                           "seconds_predict_plus_froc_one_command":
+                           round(t_eval, 1)}
+        print(f"[float predict+froc] {t_eval:.1f}s → {report['float']}")
+        checkpoint()
 
     # ---- phase 3: int8 with the persisted quantization artifact --------
-    if not a.skip_int8:
+    if not a.skip_int8 and "int8" not in report:
         t_q = cli(["--quantize", "--patch_level", "3"], a.root, models)
         t_eval = cli(one_cmd + ["--int8"], a.root, models)
         report["int8"] = {**froc(), "seconds_quantize": round(t_q, 1),
@@ -236,7 +257,7 @@ def main() -> None:
         checkpoint()
 
     # ---- phase 4: the namesake — calibrated multiscale fusion ----------
-    if not a.skip_multiscale:
+    if not a.skip_multiscale and "multiscale" not in report:
         t_ms_train = cli(
             ["--train_multiscale", "--levels", "2,3", "--epochs", "10",
              "--batch_size", "32"], a.root, models,
@@ -261,26 +282,27 @@ def main() -> None:
               f"{report['multiscale']}")
         checkpoint()
 
-        if not a.skip_int8:
-            t_q = cli(["--quantize", "--multiscale", "--levels", "2,3"],
-                      a.root, models)
-            t_eval = cli(
-                ["--predict_slide", os.path.join(a.root, "test", "img"),
-                 "--multiscale", "--levels", "2,3", "--run_evaluation",
-                 "--int8", "--stride", "56", "--batch_size", "64"],
-                a.root, models,
-            )
-            report["multiscale_int8"] = {
-                **froc(), "seconds_quantize": round(t_q, 1),
-                "seconds_predict_plus_froc_one_command": round(t_eval, 1),
-                "persisted_artifact": True,
-            }
-            print(f"[multiscale int8] {t_eval:.1f}s → "
-                  f"{report['multiscale_int8']}")
-            checkpoint()
+    if (not a.skip_multiscale and not a.skip_int8
+            and "multiscale_int8" not in report):
+        t_q = cli(["--quantize", "--multiscale", "--levels", "2,3"],
+                  a.root, models)
+        t_eval = cli(
+            ["--predict_slide", os.path.join(a.root, "test", "img"),
+             "--multiscale", "--levels", "2,3", "--run_evaluation",
+             "--int8", "--stride", "56", "--batch_size", "64"],
+            a.root, models,
+        )
+        report["multiscale_int8"] = {
+            **froc(), "seconds_quantize": round(t_q, 1),
+            "seconds_predict_plus_froc_one_command": round(t_eval, 1),
+            "persisted_artifact": True,
+        }
+        print(f"[multiscale int8] {t_eval:.1f}s → "
+              f"{report['multiscale_int8']}")
+        checkpoint()
 
     # ---- phase 5: hard-negative mining outcome -------------------------
-    if not a.skip_mining:
+    if not a.skip_mining and "after_hard_negative_mining" not in report:
         t_mine = cli(["--mine_hard_negatives", "--patch_level", "3"],
                      a.root, models)
         t_retrain = cli(
