@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench_classifier(batch: int, iters: int, warmup: int = 3,
-                     segments: bool = False) -> dict:
+                     segments: bool = False, frozen_bn: bool = False) -> dict:
     import functools
 
     import jax
@@ -42,7 +42,7 @@ def bench_classifier(batch: int, iters: int, warmup: int = 3,
         weighted_cross_entropy,
     )
 
-    model = ResNet18Classifier()
+    model = ResNet18Classifier(frozen_bn=frozen_bn)
     variables = model.init(
         jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32),
         train=False,
@@ -52,15 +52,21 @@ def bench_classifier(batch: int, iters: int, warmup: int = 3,
     opt_state = tx.init(params)
     weights = jnp.asarray([1.0, 6.0], jnp.float32)
 
+    def apply_train(p, bs, x):
+        """fwd in training mode; frozen-BN reads stored stats verbatim."""
+        if frozen_bn:
+            return model.apply({"params": p, "batch_stats": bs}, x,
+                               train=True), {"batch_stats": bs}
+        return model.apply({"params": p, "batch_stats": bs}, x,
+                           train=True, mutable=["batch_stats"])
+
     # donate state like the real trainer (train/trainer.py:81): without
     # donation every step writes fresh params+opt buffers (~134 MB)
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, batch_stats, opt_state, rng, imgs_u8, labels, valid):
         def loss_fn(p):
-            logits, upd = model.apply(
-                {"params": p, "batch_stats": batch_stats},
-                preprocess_batch(rng, imgs_u8, training=True),
-                train=True, mutable=["batch_stats"],
+            logits, upd = apply_train(
+                p, batch_stats, preprocess_batch(rng, imgs_u8, training=True)
             )
             return weighted_cross_entropy(logits, labels, weights, valid), upd
 
@@ -103,10 +109,9 @@ def bench_classifier(batch: int, iters: int, warmup: int = 3,
         # 2) augment + fwd + loss (no bwd)
         @jax.jit
         def fwd(params, batch_stats, rng, imgs_u8, labels, valid):
-            logits, _upd = model.apply(
-                {"params": params, "batch_stats": batch_stats},
+            logits, _upd = apply_train(
+                params, batch_stats,
                 preprocess_batch(rng, imgs_u8, training=True),
-                train=True, mutable=["batch_stats"],
             )
             return weighted_cross_entropy(logits, labels, weights, valid)
 
@@ -121,10 +126,9 @@ def bench_classifier(batch: int, iters: int, warmup: int = 3,
         @jax.jit
         def fwd_bwd(params, batch_stats, rng, imgs_u8, labels, valid):
             def loss_fn(p):
-                logits, upd = model.apply(
-                    {"params": p, "batch_stats": batch_stats},
+                logits, _upd = apply_train(
+                    p, batch_stats,
                     preprocess_batch(rng, imgs_u8, training=True),
-                    train=True, mutable=["batch_stats"],
                 )
                 return weighted_cross_entropy(logits, labels, weights, valid)
 
@@ -228,14 +232,21 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--segments", action="store_true",
                     help="also time augment / fwd / fwd+bwd in isolation")
+    ap.add_argument("--freeze_bn", action="store_true",
+                    help="bench the frozen-BN fine-tune step (running-stat"
+                         " BN in the train graph; norms fuse into conv"
+                         " epilogues — the --freeze_bn CLI regime)")
+    ap.add_argument("--skip_simclr", action="store_true")
     a = ap.parse_args()
     out = {
         "classifier_train": bench_classifier(
-            a.batch, a.iters, segments=a.segments
+            a.batch, a.iters, segments=a.segments, frozen_bn=a.freeze_bn
         ),
-        "simclr_train": bench_simclr(a.batch, a.iters),
         "batch": a.batch,
+        "frozen_bn": a.freeze_bn,
     }
+    if not a.skip_simclr:
+        out["simclr_train"] = bench_simclr(a.batch, a.iters)
     print(json.dumps(out))
 
 

@@ -148,6 +148,11 @@ class TrainConfig:
     strategy_epochs: int = 5  # strategy trainer, main.py:575
     log_every_steps: int = 50
     seed: int = 0
+    #: Fine-tune with frozen BatchNorm statistics (gamma/beta still train).
+    #: Standard regime for ImageNet warm starts; every norm becomes a
+    #: fusable conv epilogue instead of two extra HBM passes, worth ~1.4x
+    #: on the train step (docs/PERFORMANCE.md). CLI: ``--freeze_bn``.
+    freeze_bn: bool = False
 
 
 @dataclasses.dataclass

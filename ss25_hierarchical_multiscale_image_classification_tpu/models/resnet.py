@@ -103,6 +103,15 @@ class ResNet(nn.Module):
     bn_momentum: float = 0.9
     bn_epsilon: float = 1e-5
     axis_name: str | None = None
+    # Frozen-BN fine-tune mode: BatchNorm always normalizes with the stored
+    # running statistics, even under train=True (gamma/beta still train).
+    # Training-mode BN must materialize every conv output to HBM twice
+    # (batch-stat reduction, then normalize); with fixed stats the
+    # scale/shift is a pure elementwise epilogue XLA fuses into the conv.
+    # Standard fine-tune regime for ImageNet warm starts (the reference
+    # always trains FROM torchvision weights, ``src/models/resnet.py:63-65``)
+    # and worth ~1.4x on the training step — see docs/PERFORMANCE.md.
+    frozen_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, from_stem: bool = False):
@@ -122,14 +131,15 @@ class ResNet(nn.Module):
             param_dtype=self.param_dtype,
             kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
         )
+        bn_train = train and not self.frozen_bn
         norm = partial(
             nn.BatchNorm,
-            use_running_average=not train,
+            use_running_average=not bn_train,
             momentum=self.bn_momentum,
             epsilon=self.bn_epsilon,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-            axis_name=self.axis_name if train else None,
+            axis_name=self.axis_name if bn_train else None,
         )
 
         x = x.astype(self.dtype)

@@ -73,9 +73,14 @@ from ss25_hierarchical_multiscale_image_classification_tpu.train.state import (
 log = get_logger("train")
 
 
-def make_train_step(class_weights) -> Callable:
+def make_train_step(class_weights, frozen_bn: bool = False) -> Callable:
     """Build the jitted SPMD train step (augment → fwd → weighted CE → bwd →
-    Adam update, batch-stat update)."""
+    Adam update, batch-stat update).
+
+    ``frozen_bn`` pairs with a ``ResNet(frozen_bn=True)`` model: BatchNorm
+    reads the stored running statistics (no mutable collection, stats kept
+    verbatim), so every norm is a fusable conv epilogue instead of two
+    extra HBM passes per layer."""
     cw = None if class_weights is None else jnp.asarray(class_weights)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -83,12 +88,14 @@ def make_train_step(class_weights) -> Callable:
         imgs = preprocess_batch(rng, imgs_u8, training=True)
 
         def loss_fn(params):
-            logits, updates = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                imgs,
-                train=True,
-                mutable=["batch_stats"],
-            )
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            if frozen_bn:
+                logits = state.apply_fn(variables, imgs, train=True)
+                updates = {"batch_stats": state.batch_stats}
+            else:
+                logits, updates = state.apply_fn(
+                    variables, imgs, train=True, mutable=["batch_stats"],
+                )
             loss = weighted_cross_entropy(logits, labels, cw, valid)
             return loss, (logits, updates)
 
@@ -137,6 +144,7 @@ class Trainer:
         mesh=None,
         seed: int = 0,
         pretrained_variables: dict | None = None,
+        frozen_bn: bool = False,
     ):
         self.model = model
         self.train_ds = train_ds
@@ -157,7 +165,7 @@ class Trainer:
             pretrained_variables=pretrained_variables,
         )
         self.state = replicate(self.mesh, self.state)
-        self.train_step = make_train_step(class_weights)
+        self.train_step = make_train_step(class_weights, frozen_bn=frozen_bn)
         self.rng = jax.random.key(seed + 1)
         self.history: list[dict] = []
 
@@ -323,8 +331,15 @@ def train_resnet_classifier(
     pretrained = pretrained_variables or (
         load_pretrained_resnet18() if cfg.model.pretrained else None
     )
+    if cfg.train.freeze_bn and pretrained is None:
+        log.warning(
+            "--freeze_bn without a warm start: BatchNorm will normalize "
+            "with the INIT statistics (mean 0 / var 1) for the whole run — "
+            "intended for fine-tuning from pretrained/SimCLR weights."
+        )
     trainer = Trainer(
-        ResNet18Classifier(num_classes=cfg.model.num_classes),
+        ResNet18Classifier(num_classes=cfg.model.num_classes,
+                           frozen_bn=cfg.train.freeze_bn),
         train_ds,
         val_ds,
         batch_size=cfg.train.batch_size,
@@ -332,6 +347,7 @@ def train_resnet_classifier(
         class_weights=weights,
         seed=cfg.train.seed,
         pretrained_variables=pretrained,
+        frozen_bn=cfg.train.freeze_bn,
     )
     prefix = model_artifact_path(cfg.models_dir, "resnet18_patch_classifier")
     trainer.fit(
@@ -388,7 +404,8 @@ def train_resnet_classifier_strategic(
         }
 
     trainer = Trainer(
-        ResNet18Classifier(num_classes=cfg.model.num_classes),
+        ResNet18Classifier(num_classes=cfg.model.num_classes,
+                           frozen_bn=cfg.train.freeze_bn),
         train_ds,
         val_ds,
         batch_size=cfg.train.batch_size,
@@ -397,6 +414,7 @@ def train_resnet_classifier_strategic(
         sampler=sampler,
         seed=cfg.train.seed,
         pretrained_variables=pretrained,
+        frozen_bn=cfg.train.freeze_bn,
     )
     prefix = model_artifact_path(
         cfg.models_dir, f"resnet18_patch_classifier_{strategy}"

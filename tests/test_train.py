@@ -169,3 +169,52 @@ def test_simclr_pallas_loss_impl(tiny_train_setup, tmp_path):
     cfg.simclr.loss_impl = "pallas"
     variables = pretrain_simclr(cfg, dataset=tiny_train_setup, input_size=64)
     assert "encoder" in variables["params"]
+
+
+def test_frozen_bn_trains_affine_but_not_stats(tiny_train_setup):
+    """--freeze_bn regime: BatchNorm normalizes with the stored running
+    statistics even under train=True (the stats never move), while the
+    BN affine (scale/bias) and every conv/fc weight still receive
+    gradient updates. This is what lets XLA fuse every norm into the
+    conv epilogue (see models/resnet.py ``frozen_bn``)."""
+    ds = tiny_train_setup
+    trainer = Trainer(
+        ResNet18Classifier(dtype=jnp.float32, frozen_bn=True),
+        ds,
+        val_ds=ds,
+        batch_size=8,
+        learning_rate=1e-3,
+        seed=0,
+        frozen_bn=True,
+    )
+    stats_before = jax.device_get(trainer.state.batch_stats)
+    scale_before = jax.device_get(
+        trainer.state.params["stem_norm"]["scale"]
+    ).copy()
+    history = trainer.fit(num_epochs=1)
+    assert np.isfinite(history[0]["train_loss"])
+
+    stats_after = jax.device_get(trainer.state.batch_stats)
+    flat_b = jax.tree_util.tree_leaves(stats_before)
+    flat_a = jax.tree_util.tree_leaves(stats_after)
+    for b, a in zip(flat_b, flat_a):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+    scale_after = jax.device_get(trainer.state.params["stem_norm"]["scale"])
+    assert not np.allclose(scale_before, scale_after)
+
+
+def test_frozen_bn_train_fwd_matches_eval_fwd():
+    """With frozen_bn=True the training-mode forward is numerically the
+    eval-mode forward (both read running stats): dropout-free ResNet18,
+    so train=True vs train=False must agree exactly."""
+    model = ResNet18Classifier(dtype=jnp.float32, frozen_bn=True)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 64, 64, 3)), jnp.float32
+    )
+    variables = model.init(jax.random.key(0), x, train=False)
+    eval_logits = model.apply(variables, x, train=False)
+    train_logits = model.apply(variables, x, train=True)
+    np.testing.assert_allclose(
+        np.asarray(train_logits), np.asarray(eval_logits), rtol=1e-6
+    )
