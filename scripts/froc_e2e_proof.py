@@ -275,6 +275,8 @@ def main() -> None:
             **froc(),
             "fusion_only": froc("model_predictions_csv_fusion"),
             "aux_per_level_ensemble": froc("model_predictions_csv_aux"),
+            "aux_fine_only": froc("model_predictions_csv_aux_fine"),
+            "ensemble_fine": froc("model_predictions_csv_ensemble_fine"),
             "seconds_train": round(t_ms_train, 1),
             "seconds_predict_plus_froc_one_command": round(t_ms_eval, 1),
         }

@@ -18,6 +18,17 @@ import argparse
 import os
 import sys
 
+# Honor JAX_PLATFORMS at the CLI surface. The axon TPU plugin's
+# sitecustomize sets ``jax_platforms`` programmatically, which outranks
+# the environment variable — so the documented
+# ``JAX_PLATFORMS=cpu python main.py ...`` invocation would silently
+# initialize the TPU backend anyway (and hang if the tunnel is down).
+# Re-apply the user's choice before any backend initialization.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from ss25_hierarchical_multiscale_image_classification_tpu.config import (
     Config,
     DataConfig,
@@ -98,16 +109,20 @@ def build_parser() -> argparse.ArgumentParser:
                              "once via the hierarchical fusion classifier "
                              "(requires a --train_multiscale artifact)")
     parser.add_argument("--ms_combine", type=str, default="auto",
-                        choices=["auto", "ensemble", "fusion", "aux"],
+                        choices=["auto", "ensemble", "fusion", "aux",
+                                 "aux_fine", "ensemble_fine"],
                         help="With --predict_slide --multiscale: which"
                              " probability surface to report (auto = the"
-                             " artifact's calibrated ensemble; aux = the"
-                             " per-level-probability ensemble baseline)")
+                             " surface the artifact's calibration selected;"
+                             " aux = the per-level-probability ensemble"
+                             " baseline; aux_fine = the finest level's aux"
+                             " head; ensemble_fine = fusion x aux_fine mix)")
     parser.add_argument("--ms_components", action="store_true",
                         help="With --predict_slide --multiscale: also write"
-                             " detection CSVs for the fusion-only and"
-                             " per-level-aux surfaces (one inference pass;"
-                             " dirs model_predictions_csv_{fusion,aux})")
+                             " detection CSVs for the fusion-only, per-level"
+                             "-aux, aux-fine and ensemble-fine surfaces (one"
+                             " inference pass; dirs model_predictions_csv_"
+                             "{fusion,aux,aux_fine,ensemble_fine})")
     parser.add_argument("--detect_threshold", type=float, default=None,
                         help="With --predict_slide: emission floor for "
                              "detections, in probability space (default "
@@ -622,7 +637,8 @@ def main(argv=None) -> int:
                             return_components=True, **kw,
                         )
                         name = slide_name(os.path.basename(path))
-                        for comp in ("fusion", "aux"):
+                        for comp in ("fusion", "aux", "aux_fine",
+                                     "ensemble_fine"):
                             det = margin_detections(
                                 comps[comp], grid, detect_threshold
                             )

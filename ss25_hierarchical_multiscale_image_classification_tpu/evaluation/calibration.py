@@ -87,8 +87,11 @@ def roc_auc(scores: np.ndarray, labels: np.ndarray) -> float:
 
 
 # order matches the score-column layout of
-# ``infer/multiscale._combine_scores`` — index == column
-COMBINE_MODES = ("ensemble", "fusion", "aux")
+# ``infer/multiscale._combine_scores`` (COMBINE_COLUMNS) — index == column.
+# aux_fine = the FINEST level's aux head alone (the deep-supervised
+# single-scale specialist inside the artifact); ensemble_fine mixes the
+# fusion head with it.
+COMBINE_MODES = ("ensemble", "fusion", "aux", "aux_fine", "ensemble_fine")
 
 
 def encode_combine(mode: str) -> int:
@@ -145,50 +148,69 @@ def patch_froc_proxy(
     return float(np.mean(sens))
 
 
+def _best_mixture(m_a, m_b, labels, slides, grid):
+    """Best w for ``w*m_a + (1-w)*m_b`` by :func:`patch_froc_proxy`.
+
+    Returns (w, proxy); ties prefer the middle (variance-reducing
+    default when the heads are indistinguishable on val)."""
+    by_w = {
+        float(w): patch_froc_proxy(
+            w * m_a + (1.0 - w) * m_b, labels, slides
+        )
+        for w in grid
+    }
+    w = max(by_w, key=lambda v: (by_w[v], -abs(v - 0.5)))
+    return float(w), by_w[w]
+
+
 def pick_combine_mode(
     m_fusion: np.ndarray,
     m_aux: np.ndarray,
     labels: np.ndarray,
     slides: np.ndarray,
     grid: np.ndarray | None = None,
-) -> tuple[str, float, dict]:
+    m_aux_fine: np.ndarray | None = None,
+) -> tuple[str, dict, dict]:
     """Select the detection surface the artifact ships as its default.
 
-    Grid-searches the ensemble weight and scores fusion-only (w=1), the
-    per-scale aux mean (w=0) and every mixture by
-    :func:`patch_froc_proxy` on the held-out slides. Returns
-    ``(mode, w, proxies)`` where ``mode`` ∈ {"fusion", "ensemble", "aux"}
-    is the argmax (ties prefer fusion — the primary head — then the
-    ensemble) and ``proxies`` maps each mode to its proxy score.
-    ``w`` is the best mixture weight (1.0/0.0 when fusion/aux wins).
+    Scores every candidate surface by :func:`patch_froc_proxy` on the
+    held-out slides: fusion-only, the per-scale aux mean, the finest
+    level's aux head alone (``m_aux_fine``, when given), and the
+    grid-searched mixtures fusion×aux-mean (``ensemble``) and
+    fusion×aux-fine (``ensemble_fine``). Returns ``(mode, weights,
+    proxies)`` where ``mode`` ∈ ``COMBINE_MODES`` is the argmax (ties
+    prefer fusion — the primary head — then the mixtures, then the
+    single aux surfaces), ``weights`` carries the best
+    ``ensemble_weight`` / ``ensemble_fine_weight`` for BOTH mixture
+    families, and ``proxies`` maps each candidate to its proxy score.
     """
     if grid is None:
         grid = np.linspace(0.0, 1.0, 21)
     labels = np.asarray(labels)
-    by_w = {
-        float(w): patch_froc_proxy(
-            w * m_fusion + (1.0 - w) * m_aux, labels, slides
-        )
-        for w in grid
-    }
-    p_fusion = by_w.get(1.0, patch_froc_proxy(m_fusion, labels, slides))
-    p_aux = by_w.get(0.0, patch_froc_proxy(m_aux, labels, slides))
-    w_best = max(by_w, key=lambda w: (by_w[w], abs(w - 0.5) * -1.0))
-    p_ens = by_w[w_best]
+    p_fusion = patch_froc_proxy(m_fusion, labels, slides)
+    p_aux = patch_froc_proxy(m_aux, labels, slides)
+    w_ens, p_ens = _best_mixture(m_fusion, m_aux, labels, slides, grid)
     proxies = {"fusion": p_fusion, "ensemble": p_ens, "aux": p_aux}
-    # argmax with the stated tie preference; 1e-12 guards float noise
-    mode = "fusion"
-    if p_ens > proxies[mode] + 1e-12:
-        mode = "ensemble"
-    if p_aux > proxies[mode] + 1e-12:
-        mode = "aux"
-    w = {"fusion": 1.0, "aux": 0.0, "ensemble": float(w_best)}[mode]
+    weights = {"ensemble_weight": w_ens, "ensemble_fine_weight": 0.5}
+    # candidate order IS the tie preference: later wins only strictly
+    order = ["fusion", "ensemble", "aux"]
+    if m_aux_fine is not None:
+        w_fine, p_ens_fine = _best_mixture(
+            m_fusion, m_aux_fine, labels, slides, grid
+        )
+        proxies["ensemble_fine"] = p_ens_fine
+        proxies["aux_fine"] = patch_froc_proxy(m_aux_fine, labels, slides)
+        weights["ensemble_fine_weight"] = w_fine
+        order = ["fusion", "ensemble", "ensemble_fine", "aux_fine", "aux"]
+    mode = order[0]
+    for cand in order[1:]:
+        if proxies[cand] > proxies[mode] + 1e-12:
+            mode = cand
     log.info(
-        "combine mode: %s (w=%.2f; patch-FROC proxy fusion %.4f / "
-        "ensemble %.4f @ w=%.2f / aux %.4f)",
-        mode, w, p_fusion, p_ens, w_best, p_aux,
+        "combine mode: %s (weights %s; patch-FROC proxies %s)",
+        mode, weights, {k: round(v, 4) for k, v in proxies.items()},
     )
-    return mode, w, proxies
+    return mode, weights, proxies
 
 
 def pick_ensemble_weight(

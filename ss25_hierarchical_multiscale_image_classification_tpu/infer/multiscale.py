@@ -42,32 +42,43 @@ from ss25_hierarchical_multiscale_image_classification_tpu.models.hierarchical i
 log = get_logger("infer.multiscale")
 
 
+COMBINE_COLUMNS = ("ensemble", "fusion", "aux", "aux_fine", "ensemble_fine")
+
+
 def _combine_scores(logits, aux, temperature, aux_temperature,
-                    ensemble_weight):
-    """(fusion logits, aux logits|None) → (B, 3) detection scores in
-    CALIBRATED LOG-ODDS space: columns [ensemble, fusion, aux-mean].
+                    ensemble_weight, ensemble_fine_weight=0.5):
+    """(fusion logits, aux logits|None) → (B, 5) detection scores in
+    CALIBRATED LOG-ODDS space: columns
+    [ensemble, fusion, aux-mean, aux-fine, ensemble-fine]
+    (``COMBINE_COLUMNS``).
 
     Per head the score is the logit margin over its fitted temperature —
     rank-identical to the temperature-scaled softmax probability but free
     of float32 saturation (temperature sharpening ties confident cells at
     exactly 1.0 in probability space, which collapsed the FROC ranking in
-    round 3's first multiscale run). The ensemble mixes the two heads'
-    calibrated log-odds with the validation-AUC-selected weight; the
-    per-scale column is the mean of calibrated per-level margins (a
-    geometric-mean-of-odds ensemble). Probability = ``sigmoid(score)``.
-    Without aux heads all columns carry the fusion score."""
+    round 3's first multiscale run). ``ensemble`` mixes the fusion and
+    aux-MEAN calibrated log-odds with the validation-selected weight;
+    ``aux_fine`` is the FINEST level's aux margin alone (the deep-supervised
+    single-scale specialist living inside the artifact — aux levels are
+    sorted, finest = index -1), and ``ensemble_fine`` mixes fusion with it.
+    Probability = ``sigmoid(score)``. Without aux heads all columns carry
+    the fusion score."""
     import jax.numpy as jnp
 
     z = logits.astype(jnp.float32)
     m_fusion = (z[:, 1] - z[:, 0]) / temperature
     if aux is None:
-        return jnp.stack([m_fusion, m_fusion, m_fusion], axis=1)
+        return jnp.stack([m_fusion] * len(COMBINE_COLUMNS), axis=1)
     za = aux.astype(jnp.float32)
-    m_aux = jnp.mean(
-        (za[:, :, 1] - za[:, :, 0]) / aux_temperature, axis=1
-    )
+    m_per_level = (za[:, :, 1] - za[:, :, 0]) / aux_temperature
+    m_aux = jnp.mean(m_per_level, axis=1)
+    m_fine = m_per_level[:, -1]
     m_ens = ensemble_weight * m_fusion + (1.0 - ensemble_weight) * m_aux
-    return jnp.stack([m_ens, m_fusion, m_aux], axis=1)
+    m_ens_fine = (
+        ensemble_fine_weight * m_fusion
+        + (1.0 - ensemble_fine_weight) * m_fine
+    )
+    return jnp.stack([m_ens, m_fusion, m_aux, m_fine, m_ens_fine], axis=1)
 
 
 import functools
@@ -77,14 +88,14 @@ import functools
 def make_prob_step_multiscale_int8(
     model, levels, input_size: int = 224, temperature: float = 1.0,
     aux_temperature: float = 1.0, ensemble_weight: float = 1.0,
-    with_aux: bool = False,
+    with_aux: bool = False, ensemble_fine_weight: float = 0.5,
 ):
     """int8 variant: the SHARED trunk runs quantized (w8a8, one stacked
     MXU batch over all scales — ``models/quantized.py``); the scale
     embedding + fusion/aux heads stay float via
     :meth:`~..models.hierarchical.HierarchicalPatchClassifier.fuse` /
-    ``aux_logits``. Returns (B, 3) calibrated log-odds scores
-    [ensemble, fusion, aux] (see :func:`_combine_scores`)."""
+    ``aux_logits``. Returns (B, 5) calibrated log-odds scores
+    (``COMBINE_COLUMNS``, see :func:`_combine_scores`)."""
     import jax.numpy as jnp
 
     from ss25_hierarchical_multiscale_image_classification_tpu.models.hierarchical import (
@@ -125,7 +136,8 @@ def make_prob_step_multiscale_int8(
             if with_aux else None
         )
         return _combine_scores(
-            logits, aux, temperature, aux_temperature, ensemble_weight
+            logits, aux, temperature, aux_temperature, ensemble_weight,
+            ensemble_fine_weight,
         )
 
     return prob_step
@@ -135,11 +147,11 @@ def make_prob_step_multiscale_int8(
 def make_prob_step_multiscale(
     model, levels, input_size: int = 224, temperature: float = 1.0,
     aux_temperature: float = 1.0, ensemble_weight: float = 1.0,
-    with_aux: bool = False,
+    with_aux: bool = False, ensemble_fine_weight: float = 0.5,
 ):
-    """Jitted step: dict {level: u8 (B, ps_l, ps_l, 3)} → (B, 3) detection
-    scores in calibrated log-odds space [ensemble, fusion, per-scale-aux
-    mean] (see :func:`_combine_scores`).
+    """Jitted step: dict {level: u8 (B, ps_l, ps_l, 3)} → (B, 5) detection
+    scores in calibrated log-odds space (``COMBINE_COLUMNS``, see
+    :func:`_combine_scores`).
 
     Each level normalizes and resizes to ``input_size`` on device (the
     trainer's :class:`~..data.multiscale.MultiscaleDataset` resizes on
@@ -167,7 +179,8 @@ def make_prob_step_multiscale(
         )
         logits, aux = out if with_aux else (out, None)
         return _combine_scores(
-            logits, aux, temperature, aux_temperature, ensemble_weight
+            logits, aux, temperature, aux_temperature, ensemble_weight,
+            ensemble_fine_weight,
         )
 
     return prob_step
@@ -204,11 +217,13 @@ def predict_slide_multiscale(
     ``combine`` selects the reported probability: ``"auto"`` (the surface
     the artifact's calibration selected by its detection-grade val
     criterion — falls back to fusion-only for pre-calibration artifacts),
-    ``"ensemble"``, ``"fusion"``, or ``"aux"`` (per-scale mean, the
-    per-level-probability ensemble baseline). All three surfaces are
-    computed in ONE pass over
+    ``"ensemble"``, ``"fusion"``, ``"aux"`` (per-scale mean, the
+    per-level-probability ensemble baseline), ``"aux_fine"`` (the finest
+    level's aux head alone — the deep-supervised single-scale specialist
+    inside the artifact), or ``"ensemble_fine"`` (fusion × aux-fine mix).
+    All five surfaces are computed in ONE pass over
     the slide (they share the trunk); ``return_components=True``
-    additionally returns ``{"ensemble"|"fusion"|"aux": (ny, nx)}``.
+    additionally returns ``{column: (ny, nx)}`` for ``COMBINE_COLUMNS``.
 
     ``output="margin"`` returns calibrated log-odds surfaces instead of
     probabilities (non-tissue = ``NON_TISSUE_MARGIN``) — the detection
@@ -250,7 +265,10 @@ def predict_slide_multiscale(
         ensemble_weight = float(
             calibration.get("ensemble_weight", 1.0 if not has_aux else 0.5)
         )
-        if combine not in ("auto", "ensemble", "fusion", "aux"):
+        ensemble_fine_weight = float(
+            calibration.get("ensemble_fine_weight", 0.5)
+        )
+        if combine != "auto" and combine not in COMBINE_COLUMNS:
             raise ValueError(f"unknown combine mode {combine!r}")
         if combine == "auto":
             # the artifact's calibration picks its default surface by a
@@ -262,12 +280,13 @@ def predict_slide_multiscale(
             )
 
             combine = decode_combine(calibration.get("combine", "ensemble"))
-        if not has_aux and combine in ("ensemble", "aux"):
+        if not has_aux and combine != "fusion":
             combine = "fusion"  # pre-calibration artifact: fusion only
-        col = {"ensemble": 0, "fusion": 1, "aux": 2}[combine]
+        col = COMBINE_COLUMNS.index(combine)
         step_kw = dict(
             temperature=temperature, aux_temperature=aux_temperature,
             ensemble_weight=ensemble_weight, with_aux=has_aux,
+            ensemble_fine_weight=ensemble_fine_weight,
         )
         if mesh is not None:
             from ss25_hierarchical_multiscale_image_classification_tpu.parallel.mesh import (
@@ -347,8 +366,9 @@ def predict_slide_multiscale(
 
         ny, nx = grid.ny, grid.nx
         n = grid.num_patches
-        # log-odds scores [ensemble, fusion, aux]; σ applied at return
-        probs = np.full((n, 3), NON_TISSUE_MARGIN, np.float32)
+        # log-odds scores (COMBINE_COLUMNS); σ applied at return
+        ncol = len(COMBINE_COLUMNS)
+        probs = np.full((n, ncol), NON_TISSUE_MARGIN, np.float32)
 
         def fresh_batch():
             return {
@@ -452,7 +472,7 @@ def predict_slide_multiscale(
             # stop/join BEFORE the outer finally closes the slide handle
             producer.stop()
 
-        grids = np.full((3, ny, nx), NON_TISSUE_MARGIN, np.float32)
+        grids = np.full((ncol, ny, nx), NON_TISSUE_MARGIN, np.float32)
         for i in range(n):
             ix, iy = divmod(i, ny)
             grids[:, iy, ix] = probs[i]
@@ -461,7 +481,7 @@ def predict_slide_multiscale(
         out = grids[col]
         if return_components:
             components = {
-                "ensemble": grids[0], "fusion": grids[1], "aux": grids[2]
+                name: grids[i] for i, name in enumerate(COMBINE_COLUMNS)
             }
             return out, grid, components
         return out, grid

@@ -244,7 +244,8 @@ def train_multiscale_classifier(
         val_aux.append(np.asarray(aux)[keep])
         val_labels.append(labels[keep])
     calibration = {"temperature": 1.0, "aux_temperature": 1.0,
-                   "ensemble_weight": 1.0, "combine": "fusion"}
+                   "ensemble_weight": 1.0, "ensemble_fine_weight": 0.5,
+                   "combine": "fusion"}
     if val_logits:
         logits = np.concatenate(val_logits)
         aux = np.concatenate(val_aux)
@@ -268,14 +269,21 @@ def train_multiscale_classifier(
         # criterion (sensitivity at fixed FP-per-slide rates), NOT pooled
         # AUC — see ``evaluation.calibration.patch_froc_proxy``.
         m_fusion = (logits[:, 1] - logits[:, 0]) / t_fusion
-        m_aux = ((aux[:, :, 1] - aux[:, :, 0]) / t_aux).mean(axis=1)
-        mode, w, proxies = pick_combine_mode(
-            m_fusion, m_aux, labels_np, slides_np
+        m_per_level = (aux[:, :, 1] - aux[:, :, 0]) / t_aux
+        m_aux = m_per_level.mean(axis=1)
+        # finest level = last (sorted level order, matching the model's
+        # aux stacking and infer/multiscale._combine_scores)
+        m_aux_fine = m_per_level[:, -1]
+        mode, weights, proxies = pick_combine_mode(
+            m_fusion, m_aux, labels_np, slides_np, m_aux_fine=m_aux_fine
         )
         calibration = {
             "temperature": float(t_fusion),
             "aux_temperature": float(t_aux),
-            "ensemble_weight": float(w),
+            "ensemble_weight": float(weights["ensemble_weight"]),
+            "ensemble_fine_weight": float(
+                weights["ensemble_fine_weight"]
+            ),
             "combine": mode,
         }
         log.info("calibration: %s (proxies %s)", calibration, proxies)

@@ -156,15 +156,12 @@ def test_pick_combine_mode_selects_detection_grade_winner():
     outliers = rng.choice(n_neg, n_neg * 3 // 100, replace=False)
     neg[outliers] = rng.normal(6.0, 0.2, len(outliers))
     m_aux = np.concatenate([rng.normal(2.2, 0.6, n_pos), neg])
-    mode, w, proxies = pick_combine_mode(m_fusion, m_aux, labels, slides)
+    mode, weights, proxies = pick_combine_mode(m_fusion, m_aux, labels, slides)
     assert set(proxies) == {"fusion", "ensemble", "aux"}
     assert proxies["fusion"] > proxies["aux"]
-    # whatever wins, the shipped (mode, w) must attain the max proxy
+    # whatever wins, the shipped mode must attain the max proxy
     assert proxies[mode] == max(proxies.values())
-    if mode == "fusion":
-        assert w == 1.0
-    elif mode == "aux":
-        assert w == 0.0
+    assert 0.0 <= weights["ensemble_weight"] <= 1.0
     # and aux must never be selected here
     assert mode != "aux"
 
@@ -178,5 +175,38 @@ def test_pick_combine_mode_identical_heads_prefer_fusion():
     labels = rng.integers(0, 2, 400)
     slides = np.array([f"s{i % 4}" for i in range(400)])
     m = rng.normal(0, 1, 400) + 2.0 * labels
-    mode, w, _ = pick_combine_mode(m, m.copy(), labels, slides)
-    assert mode == "fusion" and w == 1.0
+    mode, _, _ = pick_combine_mode(m, m.copy(), labels, slides)
+    assert mode == "fusion"
+
+
+def test_pick_combine_mode_aux_fine_candidates():
+    """With ``m_aux_fine`` given, the finest level's aux head and the
+    fusion×aux-fine mixture join the candidate set; a strictly better
+    aux-fine surface must be selected, and its mixture weight fitted."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.calibration import (
+        pick_combine_mode,
+    )
+
+    rng = np.random.default_rng(9)
+    n_pos, n_neg = 200, 2000
+    labels = np.array([1] * n_pos + [0] * n_neg)
+    slides = np.array([f"s{i % 8}" for i in range(n_pos + n_neg)])
+    m_fusion = np.concatenate(
+        [rng.normal(1.0, 1.2, n_pos), rng.normal(0, 1.0, n_neg)]
+    )
+    m_aux = np.concatenate(
+        [rng.normal(0.5, 1.5, n_pos), rng.normal(0, 1.2, n_neg)]
+    )
+    # aux_fine separates near-perfectly in the low-FP regime
+    m_fine = np.concatenate(
+        [rng.normal(5.0, 0.5, n_pos), rng.normal(0, 0.5, n_neg)]
+    )
+    mode, weights, proxies = pick_combine_mode(
+        m_fusion, m_aux, labels, slides, m_aux_fine=m_fine
+    )
+    assert set(proxies) == {
+        "fusion", "ensemble", "aux", "aux_fine", "ensemble_fine"
+    }
+    assert mode in ("aux_fine", "ensemble_fine")
+    assert proxies[mode] == max(proxies.values())
+    assert 0.0 <= weights["ensemble_fine_weight"] <= 1.0

@@ -25,7 +25,10 @@ from ss25_hierarchical_multiscale_image_classification_tpu.data.datasets import 
 @pytest.fixture(scope="module")
 def learnable_dataset(synthetic_case):
     data = DataConfig(data_dir=synthetic_case)
-    manifest = extract_patches(data, level=2, stride=112, store_format="packed")
+    # stride 56 (vs the 112 patch grid elsewhere): ~33 patches instead of
+    # ~10 — the learning test needs enough steps per epoch that the fit
+    # isn't dominated by the luck of per-step augmentation draws
+    manifest = extract_patches(data, level=2, stride=56, store_format="packed")
     # per-class counts needed for learning: require both classes present
     counts = manifest.class_counts()
     assert counts.get(0, 0) > 0 and counts.get(1, 0) > 0
@@ -33,6 +36,14 @@ def learnable_dataset(synthetic_case):
 
 
 def test_classifier_learns_synthetic_tumors(learnable_dataset):
+    """The full train pipeline (augment → fwd → weighted CE → Adam) fits
+    the linearly separable tumor tint.
+
+    Runs in frozen-BN mode so the eval graph equals the train graph: with
+    mutable BatchNorm the running statistics chase the color-jittered batch
+    distribution and val accuracy lags the fit by many epochs on a fixture
+    this small — the test would measure BN-stat convergence, not learning.
+    The mutable-BN update path is covered by ``tests/test_train.py``."""
     import jax
     import jax.numpy as jnp
 
@@ -46,17 +57,18 @@ def test_classifier_learns_synthetic_tumors(learnable_dataset):
 
     ds = learnable_dataset
     trainer = Trainer(
-        ResNet18Classifier(dtype=jnp.float32),
+        ResNet18Classifier(dtype=jnp.float32, frozen_bn=True),
         ds,
         val_ds=ds,  # train-set eval: we assert the model can FIT the signal
         batch_size=8,
         learning_rate=3e-3,
         class_weights=class_weights_inv_min(ds.labels),
         seed=0,
+        frozen_bn=True,
     )
-    history = trainer.fit(num_epochs=25)
+    history = trainer.fit(num_epochs=20)
     best = max(h["val_acc"] for h in history)
-    assert best >= 0.7, (
+    assert best >= 0.9, (
         f"classifier failed to fit synthetic tumors: {history[-3:]}"
     )
 

@@ -305,11 +305,19 @@ def test_predict_multiscale_calibrated_components(synthetic_case):
     margins, grid, mcomps = predict_slide_multiscale(
         slide_path, variables, return_components=True, output="margin", **kw
     )
-    assert set(mcomps) == {"ensemble", "fusion", "aux"}
+    assert set(mcomps) == {
+        "ensemble", "fusion", "aux", "aux_fine", "ensemble_fine"
+    }
     np.testing.assert_allclose(margins, mcomps["ensemble"], atol=1e-6)
     np.testing.assert_allclose(
         mcomps["ensemble"],
         0.25 * mcomps["fusion"] + 0.75 * mcomps["aux"],
+        atol=1e-4, rtol=1e-5,
+    )
+    # default ensemble_fine_weight = 0.5 mix of fusion and the fine aux
+    np.testing.assert_allclose(
+        mcomps["ensemble_fine"],
+        0.5 * mcomps["fusion"] + 0.5 * mcomps["aux_fine"],
         atol=1e-4, rtol=1e-5,
     )
     # the surfaces differ (different heads) on at least one tissue cell
