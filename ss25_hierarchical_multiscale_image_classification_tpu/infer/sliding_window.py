@@ -429,30 +429,90 @@ def predict_slide(
             slide.close()
 
 
+def _component_mask(
+    positive: np.ndarray, sy: int, sx: int
+) -> np.ndarray:
+    """4-connected component of True cells containing (sy, sx), within a
+    small NMS localization window (≤ (2*com_radius+1)² cells)."""
+    from collections import deque
+
+    keep = np.zeros_like(positive, bool)
+    keep[sy, sx] = True
+    q = deque([(sy, sx)])
+    h, w = positive.shape
+    while q:
+        y, x = q.popleft()
+        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            yy, xx = y + dy, x + dx
+            if 0 <= yy < h and 0 <= xx < w and positive[yy, xx] and not keep[yy, xx]:
+                keep[yy, xx] = True
+                q.append((yy, xx))
+    return keep
+
+
 def nms_detections(
     prob_grid: np.ndarray,
     grid: PatchGrid,
     threshold: float = 0.5,
     radius_cells: int = 1,
     max_detections: int = 1000,
+    com_radius: int = 2,
+    com_weight=None,
 ) -> list[tuple[float, int, int]]:
-    """Greedy grid NMS → [(score, x_level0, y_level0)] at patch centers.
+    """Greedy grid NMS → [(score, x_level0, y_level0)].
 
     Space-agnostic: operates on whatever monotone score the grid carries
     (probability or logit margin); ``threshold`` must be in the same space.
+
+    Each emitted coordinate is the tumor-mass CENTROID of the
+    ``(2*com_radius+1)²`` window around the peak, not the raw argmax cell
+    center: a peak on a stride-``s`` grid is quantized to ±s/2, and for
+    lesions near or below one patch footprint the classifier's response
+    plateau is wider than the lesion itself, so the argmax center can land
+    outside the lesion entirely (on the 48-slide proof set this capped
+    every producer at 21/22 lesions — the official hit test
+    ``evaluation_FROC.py:134`` uses only the reported point). Weights are
+    the probability mass ABOVE the decision boundary
+    (``max(p - 0.5, 0)``): cells the model does not call tumor carry no
+    localization information, and non-tissue sentinels underflow to
+    weight 0. Weights are further restricted to the 4-connected component
+    of positive-weight cells containing the peak, so a weaker lesion's
+    centroid is never dragged toward a distinct nearby lesion across a
+    below-boundary gap. ``com_radius=2`` spans the 4-cell overlap
+    footprint of one 224/56 patch; ``com_radius=0`` restores raw argmax
+    centers. Centroids always weigh the ORIGINAL field, including cells
+    suppressed by an earlier (necessarily ≥2 cells away) detection.
     """
     probs = prob_grid.copy()
     out: list[tuple[float, int, int]] = []
     ds = grid.downsample
     half = grid.patch_size // 2
+    if com_weight is None:
+        com_weight = lambda v: np.clip(v - 0.5, 0.0, None)  # noqa: E731
+    weights = np.asarray(com_weight(prob_grid), np.float64)
+    ny, nx = probs.shape
     while len(out) < max_detections:
         idx = np.unravel_index(np.argmax(probs), probs.shape)
         p = float(probs[idx])
         if p < threshold:
             break
         gy, gx = int(idx[0]), int(idx[1])
-        x0 = int((gx * grid.stride + half) * ds)
-        y0 = int((gy * grid.stride + half) * ds)
+        cy, cx = float(gy), float(gx)
+        if com_radius > 0:
+            wy_lo, wy_hi = max(0, gy - com_radius), min(ny, gy + com_radius + 1)
+            wx_lo, wx_hi = max(0, gx - com_radius), min(nx, gx + com_radius + 1)
+            w = weights[wy_lo:wy_hi, wx_lo:wx_hi].copy()
+            if w[gy - wy_lo, gx - wx_lo] > 0.0:
+                w = np.where(
+                    _component_mask(w > 0.0, gy - wy_lo, gx - wx_lo), w, 0.0
+                )
+            total = float(w.sum())
+            if total > 0.0:
+                yy, xx = np.mgrid[wy_lo:wy_hi, wx_lo:wx_hi]
+                cy = float((yy * w).sum() / total)
+                cx = float((xx * w).sum() / total)
+        x0 = int((cx * grid.stride + half) * ds)
+        y0 = int((cy * grid.stride + half) * ds)
         out.append((p, x0, y0))
         y_lo, y_hi = max(0, gy - radius_cells), gy + radius_cells + 1
         x_lo, x_hi = max(0, gx - radius_cells), gx + radius_cells + 1
@@ -485,8 +545,14 @@ def margin_detections(
     ``threshold`` is in probability space (the user-facing knob); it maps
     to margin space for the floor, and emitted scores are
     :func:`margin_to_score` — rank-faithful to the margin with no float
-    saturation ties (the FROC consumer sorts on this value).
+    saturation ties (the FROC consumer sorts on this value). Centroid
+    localization weights are the probability mass above the decision
+    boundary, computed through the safe :func:`sigmoid` (non-tissue
+    margins underflow to exactly 0).
     """
+    nms_kw.setdefault(
+        "com_weight", lambda m: np.clip(sigmoid(m) - 0.5, 0.0, None)
+    )
     dets = nms_detections(
         margin_grid, grid, threshold=prob_to_margin(threshold), **nms_kw
     )

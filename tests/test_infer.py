@@ -81,7 +81,8 @@ def test_nms_and_csv(tmp_path):
     probs[1, 2] = 0.9
     probs[1, 3] = 0.8  # adjacent → suppressed
     probs[3, 0] = 0.6
-    dets = nms_detections(probs, grid, threshold=0.5, radius_cells=1)
+    dets = nms_detections(probs, grid, threshold=0.5, radius_cells=1,
+                          com_radius=0)
     assert len(dets) == 2
     p0, x0, y0 = dets[0]
     assert p0 == pytest.approx(0.9)
@@ -135,6 +136,51 @@ def test_margin_scores_never_tie_where_softmax_saturates():
     assert len(probs) == 4
     assert probs == sorted(probs, reverse=True)
     assert len(set(probs)) == 4
+
+
+def test_nms_centroid_localization():
+    """The default localization refines a peak's reported coordinate to the
+    tumor-mass centroid of its window: an off-center plateau (a lesion
+    smaller than one patch footprint straddling cell boundaries) pulls the
+    coordinate toward the plateau, not the quantized argmax center. Cells
+    at or below the decision boundary carry no weight, and a distinct blob
+    across a below-boundary gap is excluded by the connected-component
+    restriction even inside the window."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.grid.pyramid import (
+        PatchGrid,
+    )
+
+    grid = PatchGrid(level=3, width=3584, height=3584, downsample=8.0,
+                     patch_size=224, stride=56)
+    probs = np.zeros((8, 8), np.float32)
+    # plateau: peak at (2,2), equal-strength neighbor mass to the right;
+    # (2,4) sits below the decision boundary → no weight, no emission
+    probs[2, 2] = 0.9
+    probs[2, 3] = 0.9
+    probs[2, 4] = 0.45
+    dets = nms_detections(probs, grid, threshold=0.5, radius_cells=1)
+    assert len(dets) == 1
+    p, x0, y0 = dets[0]
+    assert p == pytest.approx(0.9)
+    # centroid cx = (2*0.4 + 3*0.4) / 0.8 = 2.5 cells; y stays 2
+    assert x0 == int((2.5 * 56 + 112) * 8)
+    assert y0 == (2 * 56 + 112) * 8
+    # argmax mode reports the raw peak center
+    (_, xa, ya), = nms_detections(
+        probs, grid, threshold=0.5, radius_cells=1, com_radius=0
+    )
+    assert (xa, ya) == ((2 * 56 + 112) * 8, (2 * 56 + 112) * 8)
+
+    # a second blob inside the window but across a below-boundary gap
+    # must not drag the first detection's centroid (nor vice versa)
+    probs = np.zeros((8, 8), np.float32)
+    probs[2, 2] = 0.9
+    probs[2, 4] = 0.8  # gap at (2,3): weight 0 → separate component
+    dets = nms_detections(probs, grid, threshold=0.5, radius_cells=1)
+    assert len(dets) == 2
+    (_, x1, _y1), (_, x2, _y2) = dets
+    assert x1 == (2 * 56 + 112) * 8  # unmoved
+    assert x2 == (4 * 56 + 112) * 8  # unmoved
 
 
 def test_render_overlay(synthetic_case, tmp_path):
