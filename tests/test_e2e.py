@@ -23,8 +23,30 @@ from ss25_hierarchical_multiscale_image_classification_tpu.data.datasets import 
 
 
 @pytest.fixture(scope="module")
-def learnable_dataset(synthetic_case):
-    data = DataConfig(data_dir=synthetic_case)
+def learnable_dataset(tmp_path_factory):
+    # a PRIVATE data root, not the shared ``synthetic_case``: extraction
+    # is idempotent per (root, level), so sharing the root would silently
+    # inherit whatever stride another test extracted first — at stride 112
+    # the fit runs 2 steps/epoch and this test measures augmentation luck
+    # instead of learning
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.synthetic import (
+        SyntheticSlideSpec,
+        tumor_spec,
+        write_synthetic_case,
+    )
+
+    root = str(tmp_path_factory.mktemp("e2e_learn"))
+    write_synthetic_case(
+        root, "tumor_001",
+        tumor_spec(width=1792, height=1344, tissue_radii=(0.45, 0.45), seed=1),
+    )
+    write_synthetic_case(
+        root, "normal_001",
+        SyntheticSlideSpec(
+            width=1792, height=1344, tissue_radii=(0.45, 0.45), seed=2
+        ),
+    )
+    data = DataConfig(data_dir=root)
     # stride 56 (vs the 112 patch grid elsewhere): ~33 patches instead of
     # ~10 — the learning test needs enough steps per epoch that the fit
     # isn't dominated by the luck of per-step augmentation draws
