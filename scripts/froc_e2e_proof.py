@@ -191,7 +191,8 @@ def main() -> None:
                 "All phases run through the CLI on the same test set: "
                 "float → int8 (persisted --quantize artifact) → calibrated "
                 "multiscale ensemble (+fusion/aux components from the same "
-                "pass) → int8 multiscale → hard-negative mining retrain.",
+                "pass) → cascade multiscale (base-level screen) → int8 "
+                "multiscale → hard-negative mining retrain.",
     }
     out_path = a.out or os.path.join(
         REPO, "docs", "proofs", "froc_e2e_report.json"
@@ -275,13 +276,29 @@ def main() -> None:
             **froc(),
             "fusion_only": froc("model_predictions_csv_fusion"),
             "aux_per_level_ensemble": froc("model_predictions_csv_aux"),
-            "aux_fine_only": froc("model_predictions_csv_aux_fine"),
-            "ensemble_fine": froc("model_predictions_csv_ensemble_fine"),
+            "aux_base_only": froc("model_predictions_csv_aux_base"),
+            "ensemble_base": froc("model_predictions_csv_ensemble_base"),
             "seconds_train": round(t_ms_train, 1),
             "seconds_predict_plus_froc_one_command": round(t_ms_eval, 1),
         }
         print(f"[multiscale predict+froc] {t_ms_eval:.1f}s → "
               f"{report['multiscale']}")
+        checkpoint()
+
+    # ---- phase 4c: hierarchical cascade inference ----------------------
+    if not a.skip_multiscale and "multiscale_cascade" not in report:
+        t_eval = cli(
+            ["--predict_slide", os.path.join(a.root, "test", "img"),
+             "--multiscale", "--levels", "2,3", "--run_evaluation",
+             "--cascade", "--stride", "56", "--batch_size", "64"],
+            a.root, models,
+        )
+        report["multiscale_cascade"] = {
+            **froc(), "cascade_floor": "auto (artifact operating point)",
+            "seconds_predict_plus_froc_one_command": round(t_eval, 1),
+        }
+        print(f"[multiscale cascade predict+froc] {t_eval:.1f}s → "
+              f"{report['multiscale_cascade']}")
         checkpoint()
 
     if (not a.skip_multiscale and not a.skip_int8
