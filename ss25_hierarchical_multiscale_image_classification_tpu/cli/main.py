@@ -110,25 +110,36 @@ def build_parser() -> argparse.ArgumentParser:
                              "(requires a --train_multiscale artifact)")
     parser.add_argument("--ms_combine", type=str, default="auto",
                         choices=["auto", "ensemble", "fusion", "aux",
-                                 "aux_fine", "ensemble_fine"],
+                                 "aux_base", "ensemble_base"],
                         help="With --predict_slide --multiscale: which"
                              " probability surface to report (auto = the"
                              " surface the artifact's calibration selected;"
                              " aux = the per-level-probability ensemble"
-                             " baseline; aux_fine = the finest level's aux"
-                             " head; ensemble_fine = fusion x aux_fine mix)")
+                             " baseline; aux_base = the base grid level's aux"
+                             " head; ensemble_base = fusion x aux_base mix)")
     parser.add_argument("--ms_components", action="store_true",
                         help="With --predict_slide --multiscale: also write"
                              " detection CSVs for the fusion-only, per-level"
-                             "-aux, aux-fine and ensemble-fine surfaces (one"
+                             "-aux, aux-base and ensemble-base surfaces (one"
                              " inference pass; dirs model_predictions_csv_"
-                             "{fusion,aux,aux_fine,ensemble_fine})")
+                             "{fusion,aux,aux_base,ensemble_base})")
     parser.add_argument("--detect_threshold", type=float, default=None,
                         help="With --predict_slide: emission floor for "
                              "detections, in probability space (default "
                              "0.05; the FROC consumer ranks and sweeps "
                              "thresholds itself, so a low floor only adds "
                              "operating points)")
+    parser.add_argument("--cascade", type=str, nargs="?", const="auto",
+                        default=None,
+                        help="With --predict_slide --multiscale: hierarchical"
+                             " cascade inference — screen every tissue cell"
+                             " with the base-level aux head alone and run"
+                             " the fused multiscale model only on survivors"
+                             " (finer-level decode skipped elsewhere)."
+                             " With no value, uses the artifact's fitted"
+                             " operating point (the screen floor that kept"
+                             " every validation tumor cell); an explicit"
+                             " probability overrides it")
     parser.add_argument("--stride", type=int, default=None,
                         help="Patch-grid stride in level pixels (default: "
                              "patch size, i.e. non-overlapping). Applies to "
@@ -594,6 +605,11 @@ def main(argv=None) -> int:
                 ms_kw["batch_size"] = args.batch_size
             if args.stride:
                 ms_kw["stride"] = args.stride
+            if args.cascade is not None:
+                ms_kw["cascade"] = (
+                    args.cascade if args.cascade == "auto"
+                    else float(args.cascade)
+                )
             if args.int8:
                 from ss25_hierarchical_multiscale_image_classification_tpu.models.quant_artifact import (
                     TRUNK_ARTIFACT,
@@ -636,9 +652,12 @@ def main(argv=None) -> int:
                             combine=args.ms_combine,
                             return_components=True, **kw,
                         )
+                        from ss25_hierarchical_multiscale_image_classification_tpu.infer.multiscale import (
+                            COMPONENT_EXPORTS,
+                        )
+
                         name = slide_name(os.path.basename(path))
-                        for comp in ("fusion", "aux", "aux_fine",
-                                     "ensemble_fine"):
+                        for comp in COMPONENT_EXPORTS:
                             det = margin_detections(
                                 comps[comp], grid, detect_threshold
                             )
@@ -665,6 +684,7 @@ def main(argv=None) -> int:
                     args.predict_slide, variables, csv_dir,
                     levels=ms_levels, int8=args.int8, mesh=_full_mesh(),
                     combine=args.ms_combine, threshold=detect_threshold,
+                    export_components=args.ms_components,
                     **ms_kw,
                 )
                 overlay_targets = (

@@ -88,10 +88,12 @@ def roc_auc(scores: np.ndarray, labels: np.ndarray) -> float:
 
 # order matches the score-column layout of
 # ``infer/multiscale._combine_scores`` (COMBINE_COLUMNS) — index == column.
-# aux_fine = the FINEST level's aux head alone (the deep-supervised
-# single-scale specialist inside the artifact); ensemble_fine mixes the
+# aux_base = the BASE (detection-grid) level's aux head alone — the
+# deep-supervised analogue of the single-level specialist, at the same
+# magnification the plain producer runs (max level number = most
+# downsampled); ensemble_base mixes the
 # fusion head with it.
-COMBINE_MODES = ("ensemble", "fusion", "aux", "aux_fine", "ensemble_fine")
+COMBINE_MODES = ("ensemble", "fusion", "aux", "aux_base", "ensemble_base")
 
 
 def encode_combine(mode: str) -> int:
@@ -99,10 +101,16 @@ def encode_combine(mode: str) -> int:
     return COMBINE_MODES.index(mode)
 
 
+#: round-3 artifacts briefly shipped these names for the base-level
+#: surfaces before the misnomer was caught (the sorted index -1 level is
+#: the MOST downsampled one, not the finest)
+_LEGACY_COMBINE = {"aux_fine": "aux_base", "ensemble_fine": "ensemble_base"}
+
+
 def decode_combine(value) -> str:
     """Int code (or already-decoded string) → combine mode."""
     if isinstance(value, str):
-        return value
+        return _LEGACY_COMBINE.get(value, value)
     return COMBINE_MODES[int(np.asarray(value))]
 
 
@@ -169,19 +177,19 @@ def pick_combine_mode(
     labels: np.ndarray,
     slides: np.ndarray,
     grid: np.ndarray | None = None,
-    m_aux_fine: np.ndarray | None = None,
+    m_aux_base: np.ndarray | None = None,
 ) -> tuple[str, dict, dict]:
     """Select the detection surface the artifact ships as its default.
 
     Scores every candidate surface by :func:`patch_froc_proxy` on the
-    held-out slides: fusion-only, the per-scale aux mean, the finest
-    level's aux head alone (``m_aux_fine``, when given), and the
-    grid-searched mixtures fusion×aux-mean (``ensemble``) and
-    fusion×aux-fine (``ensemble_fine``). Returns ``(mode, weights,
+    held-out slides: fusion-only, the per-scale aux mean, the BASE
+    (detection-grid) level's aux head alone (``m_aux_base``, when given),
+    and the grid-searched mixtures fusion×aux-mean (``ensemble``) and
+    fusion×aux-base (``ensemble_base``). Returns ``(mode, weights,
     proxies)`` where ``mode`` ∈ ``COMBINE_MODES`` is the argmax (ties
     prefer fusion — the primary head — then the mixtures, then the
     single aux surfaces), ``weights`` carries the best
-    ``ensemble_weight`` / ``ensemble_fine_weight`` for BOTH mixture
+    ``ensemble_weight`` / ``ensemble_base_weight`` for BOTH mixture
     families, and ``proxies`` maps each candidate to its proxy score.
     """
     if grid is None:
@@ -191,17 +199,17 @@ def pick_combine_mode(
     p_aux = patch_froc_proxy(m_aux, labels, slides)
     w_ens, p_ens = _best_mixture(m_fusion, m_aux, labels, slides, grid)
     proxies = {"fusion": p_fusion, "ensemble": p_ens, "aux": p_aux}
-    weights = {"ensemble_weight": w_ens, "ensemble_fine_weight": 0.5}
+    weights = {"ensemble_weight": w_ens, "ensemble_base_weight": 0.5}
     # candidate order IS the tie preference: later wins only strictly
     order = ["fusion", "ensemble", "aux"]
-    if m_aux_fine is not None:
-        w_fine, p_ens_fine = _best_mixture(
-            m_fusion, m_aux_fine, labels, slides, grid
+    if m_aux_base is not None:
+        w_base, p_ens_base = _best_mixture(
+            m_fusion, m_aux_base, labels, slides, grid
         )
-        proxies["ensemble_fine"] = p_ens_fine
-        proxies["aux_fine"] = patch_froc_proxy(m_aux_fine, labels, slides)
-        weights["ensemble_fine_weight"] = w_fine
-        order = ["fusion", "ensemble", "ensemble_fine", "aux_fine", "aux"]
+        proxies["ensemble_base"] = p_ens_base
+        proxies["aux_base"] = patch_froc_proxy(m_aux_base, labels, slides)
+        weights["ensemble_base_weight"] = w_base
+        order = ["fusion", "ensemble", "ensemble_base", "aux_base", "aux"]
     mode = order[0]
     for cand in order[1:]:
         if proxies[cand] > proxies[mode] + 1e-12:

@@ -42,14 +42,14 @@ from ss25_hierarchical_multiscale_image_classification_tpu.models.hierarchical i
 log = get_logger("infer.multiscale")
 
 
-COMBINE_COLUMNS = ("ensemble", "fusion", "aux", "aux_fine", "ensemble_fine")
+COMBINE_COLUMNS = ("ensemble", "fusion", "aux", "aux_base", "ensemble_base")
 
 
 def _combine_scores(logits, aux, temperature, aux_temperature,
-                    ensemble_weight, ensemble_fine_weight=0.5):
+                    ensemble_weight, ensemble_base_weight=0.5):
     """(fusion logits, aux logits|None) → (B, 5) detection scores in
     CALIBRATED LOG-ODDS space: columns
-    [ensemble, fusion, aux-mean, aux-fine, ensemble-fine]
+    [ensemble, fusion, aux-mean, aux-base, ensemble-base]
     (``COMBINE_COLUMNS``).
 
     Per head the score is the logit margin over its fitted temperature —
@@ -58,9 +58,11 @@ def _combine_scores(logits, aux, temperature, aux_temperature,
     exactly 1.0 in probability space, which collapsed the FROC ranking in
     round 3's first multiscale run). ``ensemble`` mixes the fusion and
     aux-MEAN calibrated log-odds with the validation-selected weight;
-    ``aux_fine`` is the FINEST level's aux margin alone (the deep-supervised
-    single-scale specialist living inside the artifact — aux levels are
-    sorted, finest = index -1), and ``ensemble_fine`` mixes fusion with it.
+    ``aux_base`` is the BASE (detection-grid) level's aux margin alone —
+    the deep-supervised analogue of the single-level specialist at the
+    producer's own magnification (aux levels are sorted ascending; the
+    base level = max level number = index -1 = most downsampled), and
+    ``ensemble_base`` mixes fusion with it.
     Probability = ``sigmoid(score)``. Without aux heads all columns carry
     the fusion score."""
     import jax.numpy as jnp
@@ -72,13 +74,13 @@ def _combine_scores(logits, aux, temperature, aux_temperature,
     za = aux.astype(jnp.float32)
     m_per_level = (za[:, :, 1] - za[:, :, 0]) / aux_temperature
     m_aux = jnp.mean(m_per_level, axis=1)
-    m_fine = m_per_level[:, -1]
+    m_base = m_per_level[:, -1]
     m_ens = ensemble_weight * m_fusion + (1.0 - ensemble_weight) * m_aux
-    m_ens_fine = (
-        ensemble_fine_weight * m_fusion
-        + (1.0 - ensemble_fine_weight) * m_fine
+    m_ens_base = (
+        ensemble_base_weight * m_fusion
+        + (1.0 - ensemble_base_weight) * m_base
     )
-    return jnp.stack([m_ens, m_fusion, m_aux, m_fine, m_ens_fine], axis=1)
+    return jnp.stack([m_ens, m_fusion, m_aux, m_base, m_ens_base], axis=1)
 
 
 import functools
@@ -88,7 +90,7 @@ import functools
 def make_prob_step_multiscale_int8(
     model, levels, input_size: int = 224, temperature: float = 1.0,
     aux_temperature: float = 1.0, ensemble_weight: float = 1.0,
-    with_aux: bool = False, ensemble_fine_weight: float = 0.5,
+    with_aux: bool = False, ensemble_base_weight: float = 0.5,
 ):
     """int8 variant: the SHARED trunk runs quantized (w8a8, one stacked
     MXU batch over all scales — ``models/quantized.py``); the scale
@@ -137,7 +139,7 @@ def make_prob_step_multiscale_int8(
         )
         return _combine_scores(
             logits, aux, temperature, aux_temperature, ensemble_weight,
-            ensemble_fine_weight,
+            ensemble_base_weight,
         )
 
     return prob_step
@@ -147,7 +149,7 @@ def make_prob_step_multiscale_int8(
 def make_prob_step_multiscale(
     model, levels, input_size: int = 224, temperature: float = 1.0,
     aux_temperature: float = 1.0, ensemble_weight: float = 1.0,
-    with_aux: bool = False, ensemble_fine_weight: float = 0.5,
+    with_aux: bool = False, ensemble_base_weight: float = 0.5,
 ):
     """Jitted step: dict {level: u8 (B, ps_l, ps_l, 3)} → (B, 5) detection
     scores in calibrated log-odds space (``COMBINE_COLUMNS``, see
@@ -180,10 +182,89 @@ def make_prob_step_multiscale(
         logits, aux = out if with_aux else (out, None)
         return _combine_scores(
             logits, aux, temperature, aux_temperature, ensemble_weight,
-            ensemble_fine_weight,
+            ensemble_base_weight,
         )
 
     return prob_step
+
+
+@functools.lru_cache(maxsize=8)
+def make_screen_step_base(
+    model, input_size: int = 224, aux_temperature: float = 1.0,
+):
+    """Jitted cascade screen: u8 (B, ps_base, ps_base, 3) → (B,) calibrated
+    aux-base log-odds margins.
+
+    Runs the shared trunk on the BASE (detection-grid) level only, plus
+    that level's scale-embedded aux head — 1/S of the fused step's trunk
+    batch and none of the finer-level decode. The first pass of
+    ``predict_slide_multiscale(cascade=...)`` screens every tissue cell
+    with this before the fused model sees the survivors."""
+    import jax.numpy as jnp
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.data.augment import (
+        normalize,
+    )
+
+    def _base_aux(m, x):
+        feats = m.trunk(x, train=False)
+        # base level = sorted index -1 in the scale embedding
+        e = feats + m.scale_embed[-1][None, :].astype(feats.dtype)
+        return m.aux_head(e.astype(m.dtype)).astype(jnp.float32)
+
+    @jax.jit
+    def screen_step(params, batch_stats, x):
+        x = normalize(x)
+        if x.shape[1] != input_size:
+            x = jax.image.resize(
+                x, (x.shape[0], input_size, input_size, 3),
+                method="bilinear",
+            )
+        za = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x,
+            method=_base_aux,
+        )
+        return (za[:, 1] - za[:, 0]) / aux_temperature
+
+    return screen_step
+
+
+def _base_aux_from_feats(m, feats):
+    """(B, 512) pooled trunk features → base-level aux logits (the sorted
+    index -1 scale embedding + the shared aux head)."""
+    import jax.numpy as jnp
+
+    e = feats + m.scale_embed[-1][None, :].astype(feats.dtype)
+    return m.aux_head(e.astype(m.dtype)).astype(jnp.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def make_screen_step_base_int8(
+    model, input_size: int = 224, aux_temperature: float = 1.0,
+):
+    """int8 cascade screen: the PERSISTED quantized trunk (w8a8) on the
+    base level only, float aux head — the deployment pairing of
+    ``--cascade`` with ``--int8`` + a ``--quantize`` artifact."""
+    import jax.numpy as jnp
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.models.quantized import (
+        quant_forward,
+    )
+
+    @jax.jit
+    def screen_step(variables, qtree, x):
+        if x.shape[1] != input_size:
+            f = jax.image.resize(
+                x.astype(jnp.float32),
+                (x.shape[0], input_size, input_size, 3),
+                method="bilinear",
+            )
+            x = jnp.clip(jnp.round(f), 0, 255).astype(jnp.uint8)
+        feats = quant_forward(qtree, x, with_fc=False).astype(jnp.float32)
+        za = model.apply(variables, feats, method=_base_aux_from_feats)
+        return (za[:, 1] - za[:, 0]) / aux_temperature
+
+    return screen_step
 
 
 def predict_slide_multiscale(
@@ -202,11 +283,13 @@ def predict_slide_multiscale(
     return_components: bool = False,
     qtree: dict | None = None,
     output: str = "prob",
+    cascade: float | None = None,
+    cell_filter: "np.ndarray | None" = None,
 ):
     """Multiscale tumor probability per co-located grid cell.
 
-    The grid lives on the FINEST pyramid level requested (max level number
-    = smallest plane); each cell's patch at a coarser-magnification level
+    The grid lives on the BASE pyramid level requested (max level number
+    = most-downsampled plane — the single-level producer's own level); each cell's patch at a coarser-magnification level
     shares its level-0 origin and field of view. ``stride`` is in
     base-level pixels. ``int8=True`` quantizes the shared trunk (w8a8,
     calibrated on this slide's first tissue batch) and keeps the fusion
@@ -218,9 +301,10 @@ def predict_slide_multiscale(
     the artifact's calibration selected by its detection-grade val
     criterion — falls back to fusion-only for pre-calibration artifacts),
     ``"ensemble"``, ``"fusion"``, ``"aux"`` (per-scale mean, the
-    per-level-probability ensemble baseline), ``"aux_fine"`` (the finest
-    level's aux head alone — the deep-supervised single-scale specialist
-    inside the artifact), or ``"ensemble_fine"`` (fusion × aux-fine mix).
+    per-level-probability ensemble baseline), ``"aux_base"`` (the base
+    detection-grid level's aux head alone — the deep-supervised analogue
+    of the single-level specialist inside the artifact), or
+    ``"ensemble_base"`` (fusion × aux-base mix).
     All five surfaces are computed in ONE pass over
     the slide (they share the trunk); ``return_components=True``
     additionally returns ``{column: (ny, nx)}`` for ``COMBINE_COLUMNS``.
@@ -229,6 +313,30 @@ def predict_slide_multiscale(
     probabilities (non-tissue = ``NON_TISSUE_MARGIN``) — the detection
     producers rank on these so confident cells don't tie at probability
     1.0 (see ``sliding_window.margin_to_score``).
+
+    ``cascade`` enables HIERARCHICAL cascade inference: a first pass
+    screens every tissue cell with the base (detection-grid) level's aux
+    head alone (:func:`make_screen_step_base` — 1/S of the fused trunk
+    batch, none of the finer-level decode), and only surviving cells get
+    the finer-magnification reads and the fused model; rows with no
+    survivor are never decoded again. The floor:
+
+    - ``cascade="auto"`` — the artifact's fitted operating point
+      (``calibration["cascade_margin"]``: the screen-margin floor that
+      kept every validation tumor cell, less a safety margin — fitted by
+      ``train/multiscale_trainer.py``). Ignored with a log line for
+      artifacts without one.
+    - a float probability in [0, 1) — converted through the calibrated
+      sigmoid. Note a well-calibrated weak screen concentrates tissue
+      near p=0.5, so absolute floors well below 0.5 may keep everything;
+      the auto operating point adapts to the screen's actual margins.
+
+    Screened-out tissue cells carry their screen margin in ALL columns.
+    Requires an artifact with aux heads (ignored otherwise); with a
+    persisted ``qtree`` the screen runs the quantized trunk, else float.
+
+    ``cell_filter`` (internal) restricts evaluation to a boolean
+    (ny, nx) mask — the cascade's second pass.
 
     Returns (probs (ny, nx), base grid[, components]).
     """
@@ -265,8 +373,13 @@ def predict_slide_multiscale(
         ensemble_weight = float(
             calibration.get("ensemble_weight", 1.0 if not has_aux else 0.5)
         )
-        ensemble_fine_weight = float(
-            calibration.get("ensemble_fine_weight", 0.5)
+        ensemble_base_weight = float(
+            calibration.get(
+                "ensemble_base_weight",
+                # legacy round-3 artifacts wrote the weight under the
+                # misnamed key (see evaluation.calibration._LEGACY_COMBINE)
+                calibration.get("ensemble_fine_weight", 0.5),
+            )
         )
         if combine != "auto" and combine not in COMBINE_COLUMNS:
             raise ValueError(f"unknown combine mode {combine!r}")
@@ -286,7 +399,7 @@ def predict_slide_multiscale(
         step_kw = dict(
             temperature=temperature, aux_temperature=aux_temperature,
             ensemble_weight=ensemble_weight, with_aux=has_aux,
-            ensemble_fine_weight=ensemble_fine_weight,
+            ensemble_base_weight=ensemble_base_weight,
         )
         if mesh is not None:
             from ss25_hierarchical_multiscale_image_classification_tpu.parallel.mesh import (
@@ -338,11 +451,11 @@ def predict_slide_multiscale(
         # base-level px → level px (power-of-two pyramid ratios)
         ratio = {lvl: ds[base] / ds[lvl] for lvl in levels}
 
-        def read_bands(iy: int) -> dict[int, np.ndarray]:
+        def read_bands(iy: int, which=levels) -> dict[int, np.ndarray]:
             """Full-width co-located band per level for one grid row."""
             y0_l0 = int(iy * grid.stride * ds[base])
             out = {}
-            for lvl in levels:
+            for lvl in which:
                 w_l, h_l = dims[lvl]
                 y_l = int(round(y0_l0 / ds[lvl]))
                 h = min(ps[lvl], h_l - y_l)
@@ -370,6 +483,119 @@ def predict_slide_multiscale(
         ncol = len(COMBINE_COLUMNS)
         probs = np.full((n, ncol), NON_TISSUE_MARGIN, np.float32)
 
+        screen_margins = None
+        cascade_floor = None
+        if cascade is not None and cell_filter is None:
+            if not has_aux:
+                log.info(
+                    "cascade requested but the artifact has no aux heads; "
+                    "running the full fused pass on every tissue cell"
+                )
+            elif cascade == "auto" and "cascade_margin" not in calibration:
+                log.info(
+                    "cascade=auto but the artifact predates the fitted "
+                    "operating point; running the full fused pass"
+                )
+            else:
+                from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
+                    prob_to_margin,
+                )
+
+                if int8 and "tree" in qstate:
+                    # persisted --quantize artifact: screen with the
+                    # quantized trunk too (float aux head). Lazy int8
+                    # calibrates on the first FUSED batch, which doesn't
+                    # exist yet at screen time — that path screens float.
+                    qscreen = make_screen_step_base_int8(
+                        model, input_size, aux_temperature=aux_temperature
+                    )
+                    screen = lambda p_, bs_, x: qscreen(  # noqa: E731
+                        variables, qstate["tree"], x
+                    )
+                else:
+                    screen = make_screen_step_base(
+                        model, input_size, aux_temperature=aux_temperature
+                    )
+                put1 = (
+                    (lambda x: jax.device_put(x, _in_sharding))
+                    if mesh is not None else (lambda x: x)
+                )
+                screen_margins = np.full(
+                    (ny, nx), NON_TISSUE_MARGIN, np.float32
+                )
+                sproducer = BandProducer(
+                    ny, lambda iy: read_bands(iy, (base,))
+                )
+                try:
+                  with Timer(f"cascade screen[{n} cells]", log):
+                    sbatch = np.full(
+                        (batch_size, ps[base], ps[base], 3), 255, np.uint8
+                    )
+                    spos: list[tuple[int, int]] = []
+                    spending: tuple | None = None
+
+                    def sflush():
+                        nonlocal spending
+                        if spending is not None:
+                            prev, prev_pos = spending
+                            vals = np.asarray(prev)[: len(prev_pos)]
+                            ys = [p[0] for p in prev_pos]
+                            xs = [p[1] for p in prev_pos]
+                            screen_margins[ys, xs] = vals
+                            spending = None
+
+                    def sdispatch(b, positions):
+                        nonlocal spending
+                        dev = screen(params, batch_stats, put1(b))
+                        sflush()
+                        spending = (dev, list(positions))
+
+                    while True:
+                        item = sproducer.get()
+                        if item is None:
+                            break
+                        iy, bands = item
+                        band = bands[base]
+                        for ix in range(nx):
+                            x_l = ix * grid.stride
+                            patch = band[:, x_l : x_l + ps[base]]
+                            if patch.shape[1] < ps[base]:
+                                full = np.full(
+                                    (ps[base], ps[base], 3), 255, np.uint8
+                                )
+                                full[:, : patch.shape[1]] = patch
+                                patch = full
+                            if patch.mean() > tissue_threshold:
+                                continue
+                            sbatch[len(spos)] = patch
+                            spos.append((iy, ix))
+                            if len(spos) == batch_size:
+                                sdispatch(sbatch, spos)
+                                sbatch = np.full(
+                                    (batch_size, ps[base], ps[base], 3),
+                                    255, np.uint8,
+                                )
+                                spos = []
+                    if spos:
+                        sdispatch(sbatch, spos)
+                    sflush()
+                finally:
+                    sproducer.stop()
+                if cascade == "auto":
+                    cascade_floor = float(calibration["cascade_margin"])
+                else:
+                    cascade_floor = prob_to_margin(float(cascade))
+                cell_filter = screen_margins >= cascade_floor
+                log.info(
+                    "cascade: %d / %d tissue cells survive the base-level "
+                    "screen (margin >= %g%s)",
+                    int(cell_filter.sum()),
+                    int((screen_margins > NON_TISSUE_MARGIN).sum()),
+                    cascade_floor,
+                    ", artifact operating point" if cascade == "auto"
+                    else "",
+                )
+
         def fresh_batch():
             return {
                 lvl: np.full(
@@ -378,7 +604,12 @@ def predict_slide_multiscale(
                 for lvl in levels
             }
 
-        producer = BandProducer(ny, read_bands)
+        if cell_filter is None:
+            rows = list(range(ny))
+        else:
+            # rows with no surviving cell are never decoded in pass 2
+            rows = [iy for iy in range(ny) if bool(cell_filter[iy].any())]
+        producer = BandProducer(len(rows), lambda k: read_bands(rows[k]))
         try:
           with Timer(f"predict_slide_multiscale[{n} cells]", log):
             batch = fresh_batch()
@@ -441,8 +672,11 @@ def predict_slide_multiscale(
                 item = producer.get()
                 if item is None:
                     break
-                iy, bands = item
+                k, bands = item
+                iy = rows[k]
                 for ix in range(nx):
+                    if cell_filter is not None and not cell_filter[iy, ix]:
+                        continue
                     cut = {}
                     for lvl in levels:
                         x_l = int(round(ix * grid.stride * ratio[lvl]))
@@ -476,6 +710,13 @@ def predict_slide_multiscale(
         for i in range(n):
             ix, iy = divmod(i, ny)
             grids[:, iy, ix] = probs[i]
+        if screen_margins is not None:
+            # screened-out tissue cells carry the base-level screen margin
+            # in every column: an honest single-scale estimate that keeps
+            # overlays dense and (for cascade ≤ the emission floor) never
+            # enters the detection set
+            fill = (screen_margins > NON_TISSUE_MARGIN) & ~cell_filter
+            grids[:, fill] = screen_margins[fill]
         if output == "prob":
             grids = sigmoid(grids)
         out = grids[col]
@@ -490,18 +731,28 @@ def predict_slide_multiscale(
             slide.close()
 
 
+#: component surfaces `--ms_components` exports next to the main CSV
+#: (dirs ``<csv_dir>_<name>``); "ensemble" is omitted — it is the main
+#: CSV whenever the calibration selects it
+COMPONENT_EXPORTS = ("fusion", "aux", "aux_base", "ensemble_base")
+
+
 def predict_and_export_multiscale(
     slide_path: str,
     variables: dict,
     csv_dir: str,
     levels=(2, 3),
     threshold: float | None = None,
+    export_components: bool = False,
     **kw,
 ) -> tuple[np.ndarray, str]:
     """Multiscale producer: probability grid + detection CSV for one slide
     (same CSV contract as the single-level producer). ``threshold`` is in
     probability space (default ``DETECTION_PROB_THRESHOLD``); ranking and
-    emission run on the calibrated log-odds surface."""
+    emission run on the calibrated log-odds surface.
+    ``export_components=True`` additionally writes one detection CSV per
+    ``COMPONENT_EXPORTS`` surface (same single inference pass) into
+    ``<csv_dir>_<component>/``."""
     from ss25_hierarchical_multiscale_image_classification_tpu.config import (
         DETECTION_PROB_THRESHOLD,
     )
@@ -517,9 +768,20 @@ def predict_and_export_multiscale(
     if threshold is None:
         threshold = DETECTION_PROB_THRESHOLD
     name = slide_name(os.path.basename(slide_path))
-    margins, grid = predict_slide_multiscale(
-        slide_path, variables, levels=levels, output="margin", **kw
-    )
+    if export_components:
+        margins, grid, comps = predict_slide_multiscale(
+            slide_path, variables, levels=levels, output="margin",
+            return_components=True, **kw,
+        )
+        for comp in COMPONENT_EXPORTS:
+            write_detection_csv(
+                os.path.join(f"{csv_dir}_{comp}", f"{name}.csv"),
+                margin_detections(comps[comp], grid, threshold),
+            )
+    else:
+        margins, grid = predict_slide_multiscale(
+            slide_path, variables, levels=levels, output="margin", **kw
+        )
     detections = margin_detections(margins, grid, threshold)
     csv_path = os.path.join(csv_dir, f"{name}.csv")
     write_detection_csv(csv_path, detections)

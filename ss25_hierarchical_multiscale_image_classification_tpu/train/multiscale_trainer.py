@@ -244,7 +244,7 @@ def train_multiscale_classifier(
         val_aux.append(np.asarray(aux)[keep])
         val_labels.append(labels[keep])
     calibration = {"temperature": 1.0, "aux_temperature": 1.0,
-                   "ensemble_weight": 1.0, "ensemble_fine_weight": 0.5,
+                   "ensemble_weight": 1.0, "ensemble_base_weight": 0.5,
                    "combine": "fusion"}
     if val_logits:
         logits = np.concatenate(val_logits)
@@ -271,21 +271,32 @@ def train_multiscale_classifier(
         m_fusion = (logits[:, 1] - logits[:, 0]) / t_fusion
         m_per_level = (aux[:, :, 1] - aux[:, :, 0]) / t_aux
         m_aux = m_per_level.mean(axis=1)
-        # finest level = last (sorted level order, matching the model's
-        # aux stacking and infer/multiscale._combine_scores)
-        m_aux_fine = m_per_level[:, -1]
+        # base (detection-grid) level = last: sorted level order, max
+        # level number = most downsampled, matching the model's aux
+        # stacking and infer/multiscale._combine_scores
+        m_aux_base = m_per_level[:, -1]
         mode, weights, proxies = pick_combine_mode(
-            m_fusion, m_aux, labels_np, slides_np, m_aux_fine=m_aux_fine
+            m_fusion, m_aux, labels_np, slides_np, m_aux_base=m_aux_base
         )
         calibration = {
             "temperature": float(t_fusion),
             "aux_temperature": float(t_aux),
             "ensemble_weight": float(weights["ensemble_weight"]),
-            "ensemble_fine_weight": float(
-                weights["ensemble_fine_weight"]
+            "ensemble_base_weight": float(
+                weights["ensemble_base_weight"]
             ),
             "combine": mode,
         }
+        # cascade operating point: the base-level screen-margin floor
+        # that keeps EVERY validation tumor cell, less a safety margin of
+        # 10% of the screen's overall spread — "skip only cells the
+        # screen is surer are normal than it ever was about a val tumor".
+        # Shipped in the artifact; ``--cascade`` with no value uses it
+        # (infer/multiscale.predict_slide_multiscale).
+        if (labels_np == 1).any():
+            tumor_min = float(np.min(m_aux_base[labels_np == 1]))
+            spread = float(np.std(m_aux_base)) + 1e-6
+            calibration["cascade_margin"] = tumor_min - 0.1 * spread
         log.info("calibration: %s (proxies %s)", calibration, proxies)
 
     from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.calibration import (

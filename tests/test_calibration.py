@@ -179,10 +179,10 @@ def test_pick_combine_mode_identical_heads_prefer_fusion():
     assert mode == "fusion"
 
 
-def test_pick_combine_mode_aux_fine_candidates():
-    """With ``m_aux_fine`` given, the finest level's aux head and the
-    fusion×aux-fine mixture join the candidate set; a strictly better
-    aux-fine surface must be selected, and its mixture weight fitted."""
+def test_pick_combine_mode_aux_base_candidates():
+    """With ``m_aux_base`` given, the base grid level's aux head and the
+    fusion×aux-base mixture join the candidate set; a strictly better
+    aux-base surface must be selected, and its mixture weight fitted."""
     from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.calibration import (
         pick_combine_mode,
     )
@@ -197,16 +197,16 @@ def test_pick_combine_mode_aux_fine_candidates():
     m_aux = np.concatenate(
         [rng.normal(0.5, 1.5, n_pos), rng.normal(0, 1.2, n_neg)]
     )
-    # aux_fine separates near-perfectly in the low-FP regime
-    m_fine = np.concatenate(
+    # aux_base separates near-perfectly in the low-FP regime
+    m_base = np.concatenate(
         [rng.normal(5.0, 0.5, n_pos), rng.normal(0, 0.5, n_neg)]
     )
     mode, weights, proxies = pick_combine_mode(
-        m_fusion, m_aux, labels, slides, m_aux_fine=m_fine
+        m_fusion, m_aux, labels, slides, m_aux_base=m_base
     )
     assert set(proxies) == {
-        "fusion", "ensemble", "aux", "aux_fine", "ensemble_fine"
+        "fusion", "ensemble", "aux", "aux_base", "ensemble_base"
     }
-    assert mode in ("aux_fine", "ensemble_fine")
+    assert mode in ("aux_base", "ensemble_base")
     assert proxies[mode] == max(proxies.values())
-    assert 0.0 <= weights["ensemble_fine_weight"] <= 1.0
+    assert 0.0 <= weights["ensemble_base_weight"] <= 1.0

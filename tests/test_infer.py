@@ -309,3 +309,52 @@ def test_render_overlay_strided_alignment(synthetic_case, tmp_path):
     # generous tolerance: bilinear smoothing + clipping at image borders
     assert abs(cx - min(ex, w - 1)) < ps / 3, (cx, ex)
     assert abs(cy - min(ey, h - 1)) < ps / 3, (cy, ey)
+
+
+def test_centroid_localization_hits_sub_footprint_lesion():
+    """Regression for the round-3 FROC cap: a lesion smaller than one
+    patch footprint whose response plateau peaks at a cell center OUTSIDE
+    the lesion outline. The official hit test uses only the reported
+    point (evaluation_FROC.py:134 semantics), so argmax localization
+    misses the lesion entirely while the tumor-mass centroid lands
+    inside it."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.froc import (
+        compute_fp_tp_probs,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.grid.pyramid import (
+        PatchGrid,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
+        nms_detections,
+    )
+
+    # stride-56 level-3 grid (downsample 8): cell centers 448 L0 px apart
+    grid = PatchGrid(level=3, width=1792, height=1792, downsample=8.0,
+                     patch_size=224, stride=56)
+    # evaluation mask at level 5 (L0/32): a ~30x30-px lesion BETWEEN two
+    # cell centers — every overlapping patch fires, peak center outside
+    em = np.zeros((56, 56), np.uint8)
+    probs = np.zeros((grid.ny, grid.nx), np.float32)
+    em[:, :] = 0
+    # cell centers map to eval coords 14*g + 28 (g = grid index): 28, 42,
+    # 56, ... — the lesion x-range [33,38) sits in the INTER-CENTER GAP,
+    # so no cell center is inside the outline; its y-range contains the
+    # g=0 row of centers (eval y 28)
+    em[26:31, 33:38] = 1
+    probs[0, 0] = 0.93   # strongest response: center eval (28, 28)
+    probs[0, 1] = 0.91   # center eval (42, 28)
+    dets_argmax = nms_detections(probs, grid, threshold=0.5,
+                                 radius_cells=1, com_radius=0)
+    dets_com = nms_detections(probs, grid, threshold=0.5, radius_cells=1)
+
+    def froc_hits(dets):
+        ps = [d[0] for d in dets]
+        xs = [d[1] for d in dets]
+        ys = [d[2] for d in dets]
+        _fp, tp, n, _, _ = compute_fp_tp_probs(
+            ys, xs, ps, True, em, [], level=5
+        )
+        return float(np.max(tp)) if len(tp) else 0.0
+
+    assert froc_hits(dets_argmax) == 0.0  # argmax center never inside
+    assert froc_hits(dets_com) > 0.0      # centroid lands in the outline

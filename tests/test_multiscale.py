@@ -306,7 +306,7 @@ def test_predict_multiscale_calibrated_components(synthetic_case):
         slide_path, variables, return_components=True, output="margin", **kw
     )
     assert set(mcomps) == {
-        "ensemble", "fusion", "aux", "aux_fine", "ensemble_fine"
+        "ensemble", "fusion", "aux", "aux_base", "ensemble_base"
     }
     np.testing.assert_allclose(margins, mcomps["ensemble"], atol=1e-6)
     np.testing.assert_allclose(
@@ -314,10 +314,10 @@ def test_predict_multiscale_calibrated_components(synthetic_case):
         0.25 * mcomps["fusion"] + 0.75 * mcomps["aux"],
         atol=1e-4, rtol=1e-5,
     )
-    # default ensemble_fine_weight = 0.5 mix of fusion and the fine aux
+    # default ensemble_base_weight = 0.5 mix of fusion and the base aux
     np.testing.assert_allclose(
-        mcomps["ensemble_fine"],
-        0.5 * mcomps["fusion"] + 0.5 * mcomps["aux_fine"],
+        mcomps["ensemble_base"],
+        0.5 * mcomps["fusion"] + 0.5 * mcomps["aux_base"],
         atol=1e-4, rtol=1e-5,
     )
     # the surfaces differ (different heads) on at least one tissue cell
@@ -516,3 +516,158 @@ def test_predict_multiscale_auto_honors_calibrated_combine(synthetic_case):
     )
     np.testing.assert_allclose(probs, comps["fusion"], atol=1e-6)
     assert not np.allclose(comps["fusion"], comps["aux"])
+
+
+def test_predict_multiscale_cascade(synthetic_case):
+    """Hierarchical cascade inference: with a floor every tissue cell
+    clears, the two-pass result is IDENTICAL to the full fused pass; with
+    a selective floor, surviving cells carry their full fused values and
+    screened-out tissue cells carry the base-level screen margin (the
+    aux_base surface) in every column."""
+    import os
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.multiscale import (
+        predict_slide_multiscale,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
+        NON_TISSUE_MARGIN,
+        sigmoid,
+    )
+
+    model = HierarchicalPatchClassifier(levels=(2, 3), dtype=jnp.float32)
+    s = 64
+    init = {lvl: jnp.zeros((1, s, s, 3), jnp.float32) for lvl in (2, 3)}
+    variables = dict(
+        model.init(jax.random.key(0), init, train=False, with_aux=True)
+    )
+    variables["calibration"] = {
+        "temperature": 2.0, "aux_temperature": 1.5, "ensemble_weight": 0.25
+    }
+    slide_path = os.path.join(
+        synthetic_case, "train", "img", "tumor_001.wsi.npz"
+    )
+    kw = dict(levels=(2, 3), stride=112, batch_size=4, model=model,
+              input_size=s, output="margin", return_components=True)
+    full, grid, fcomps = predict_slide_multiscale(slide_path, variables, **kw)
+
+    # floor ~0: every tissue cell survives -> bit-identical surfaces
+    casc, _, ccomps = predict_slide_multiscale(
+        slide_path, variables, cascade=1e-9, **kw
+    )
+    for k in fcomps:
+        np.testing.assert_array_equal(fcomps[k], ccomps[k])
+
+    # median tissue probability as the floor: some cells screened out
+    tissue = fcomps["aux_base"] > NON_TISSUE_MARGIN
+    floor = float(np.median(sigmoid(fcomps["aux_base"][tissue])))
+    sel, _, scomps = predict_slide_multiscale(
+        slide_path, variables, cascade=floor, **kw
+    )
+    survived = tissue & (sigmoid(fcomps["aux_base"]) >= floor)
+    screened = tissue & ~survived
+    assert screened.any() and survived.any()
+    for k in fcomps:
+        # survivors: full fused values
+        np.testing.assert_allclose(
+            scomps[k][survived], fcomps[k][survived], atol=1e-5
+        )
+        # screened out: the base-level screen margin in every column
+        np.testing.assert_allclose(
+            scomps[k][screened], fcomps["aux_base"][screened], atol=1e-5
+        )
+    # non-tissue untouched
+    np.testing.assert_array_equal(
+        scomps["fusion"][~tissue], fcomps["fusion"][~tissue]
+    )
+
+
+def test_predict_multiscale_cascade_int8_artifact(synthetic_case):
+    """--cascade with --int8 and a persisted quantization artifact: the
+    screen runs the quantized trunk; a floor every cell clears reproduces
+    the full int8 two-level pass exactly."""
+    import os
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.multiscale import (
+        predict_slide_multiscale,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.models.quantized import (
+        quantize_resnet18,
+    )
+
+    model = HierarchicalPatchClassifier(levels=(2, 3), dtype=jnp.float32)
+    s = 64
+    init = {lvl: jnp.zeros((1, s, s, 3), jnp.float32) for lvl in (2, 3)}
+    variables = dict(
+        model.init(jax.random.key(0), init, train=False, with_aux=True)
+    )
+    variables["calibration"] = {"temperature": 1.0, "aux_temperature": 1.0,
+                                "ensemble_weight": 0.5}
+    rng = np.random.default_rng(0)
+    calib = [rng.integers(0, 256, (8, s, s, 3), dtype=np.uint8)]
+    qtree = quantize_resnet18(
+        {"params": variables["params"]["trunk"],
+         "batch_stats": variables["batch_stats"]["trunk"]},
+        calib,
+    ).tree()
+    slide_path = os.path.join(
+        synthetic_case, "train", "img", "tumor_001.wsi.npz"
+    )
+    kw = dict(levels=(2, 3), stride=112, batch_size=4, model=model,
+              input_size=s, int8=True, qtree=qtree, output="margin")
+    full, _ = predict_slide_multiscale(slide_path, variables, **kw)
+    casc, _ = predict_slide_multiscale(
+        slide_path, variables, cascade=1e-9, **kw
+    )
+    np.testing.assert_array_equal(full, casc)
+
+
+def test_predict_multiscale_cascade_auto_operating_point(synthetic_case):
+    """``cascade="auto"`` uses the artifact's fitted screen-margin floor;
+    artifacts without one fall back to the full pass with a log line."""
+    import os
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.multiscale import (
+        predict_slide_multiscale,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
+        NON_TISSUE_MARGIN,
+    )
+
+    model = HierarchicalPatchClassifier(levels=(2, 3), dtype=jnp.float32)
+    s = 64
+    init = {lvl: jnp.zeros((1, s, s, 3), jnp.float32) for lvl in (2, 3)}
+    variables = dict(
+        model.init(jax.random.key(0), init, train=False, with_aux=True)
+    )
+    variables["calibration"] = {
+        "temperature": 2.0, "aux_temperature": 1.5, "ensemble_weight": 0.25
+    }
+    slide_path = os.path.join(
+        synthetic_case, "train", "img", "tumor_001.wsi.npz"
+    )
+    kw = dict(levels=(2, 3), stride=112, batch_size=4, model=model,
+              input_size=s, output="margin", return_components=True)
+    full, _, fcomps = predict_slide_multiscale(slide_path, variables, **kw)
+
+    # no fitted operating point -> auto degrades to the full pass
+    auto_missing, _, mcomps = predict_slide_multiscale(
+        slide_path, variables, cascade="auto", **kw
+    )
+    np.testing.assert_array_equal(full, auto_missing)
+
+    # fit a floor at the median tissue screen margin -> half screened out
+    tissue = fcomps["aux_base"] > NON_TISSUE_MARGIN
+    floor = float(np.median(fcomps["aux_base"][tissue]))
+    variables["calibration"]["cascade_margin"] = floor
+    sel, _, scomps = predict_slide_multiscale(
+        slide_path, variables, cascade="auto", **kw
+    )
+    survived = tissue & (fcomps["aux_base"] >= floor)
+    screened = tissue & ~survived
+    assert survived.any() and screened.any()
+    np.testing.assert_allclose(
+        scomps["fusion"][survived], fcomps["fusion"][survived], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        scomps["fusion"][screened], fcomps["aux_base"][screened], atol=1e-5
+    )
