@@ -10,9 +10,9 @@ On one synthetic case:
    across batch sizes (deterministic serving);
 3. QAT fine-tune (fake-quant graph, STE) and re-persist;
 4. multiscale fusion training with per-scale aux heads → temperature +
-   ensemble-weight calibration shipped inside the artifact → the three
-   probability surfaces (calibrated ensemble / fusion / per-level aux)
-   from ONE slide pass.
+   ensemble-weight calibration shipped inside the artifact → all five
+   probability surfaces (calibrated ensemble / fusion / per-level aux /
+   base-level aux / fusion×aux-base) from ONE slide pass.
 
 Run: ``python examples/06_production_quantization.py [--out DIR]``
 (CPU works; everything is small).

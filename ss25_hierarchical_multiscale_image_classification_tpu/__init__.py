@@ -24,6 +24,20 @@ Import as::
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Honor JAX_PLATFORMS at every entrypoint that imports the package
+    # (CLI, examples, scripts, tests). Some site installs (e.g. the axon
+    # TPU plugin's sitecustomize) set ``jax_platforms`` programmatically,
+    # which outranks the environment variable — so the documented
+    # ``JAX_PLATFORMS=cpu python ...`` invocation would silently
+    # initialize the TPU backend anyway (and hang if the device is
+    # unreachable). A config update before first backend use wins.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
 from ss25_hierarchical_multiscale_image_classification_tpu.config import (  # noqa: F401
     Config,
     get_config,
