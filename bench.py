@@ -165,9 +165,38 @@ def run_bench_int8(batch_size: int = 512, iters: int = 50, warmup: int = 5,
     }
 
 
+def _watchdog(seconds: float = 600.0) -> None:
+    """Emit an error JSON line and hard-exit if the device never comes up.
+
+    TPU backend initialization is a blocking C call with no timeout of its
+    own; when the device tunnel is down the whole bench would hang forever.
+    The driver needs ONE JSON line either way.
+    """
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(seconds):
+            print(json.dumps({
+                "metric": "resnet18_infer_patches_per_sec",
+                "value": 0.0,
+                "unit": "patches/s/chip",
+                "vs_baseline": 0.0,
+                "error": f"device init/bench did not complete in "
+                         f"{seconds:.0f}s (TPU tunnel down?)",
+            }), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=watch, daemon=True).start()
+    _watchdog.done = done  # type: ignore[attr-defined]
+
+
 if __name__ == "__main__":
     import sys
 
+    _watchdog(600.0)
     if "--int8" in sys.argv:
         result = run_bench_int8(stem_s2d=False if "--no-s2d" in sys.argv else None)
     elif "--float-only" in sys.argv or "--unfolded" in sys.argv:
@@ -181,4 +210,5 @@ if __name__ == "__main__":
         result["int8_metric"] = int8["metric"]
         result["int8_value"] = int8["value"]
         result["int8_vs_baseline"] = int8["vs_baseline"]
+    _watchdog.done.set()  # type: ignore[attr-defined]
     print(json.dumps(result))
