@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Multiscale ± cascade wall-clock on the real-size gigapixel slide.
+
+The 48-slide proof measures cascade on decode-cheap 7168x5376 slides; the
+claimed savings scale with the finer-magnification decode share, which
+only a real-size slide exercises. This script times the hierarchical
+producer on the canonical 97792x221184 BigTIFF (``scripts/gigapixel_proof.py``
+fabricates it) three ways: single-level, full multiscale, cascade
+multiscale (the artifact's fitted operating point), and reports
+survivor accounting.
+
+Usage: python scripts/giga_ms_bench.py [--slide PATH] [--models DIR]
+Defaults assume the proof artifacts: slide /tmp/hipac_gigapixel/tumor_giant.tif,
+models /tmp/hipac_froc/models (hierarchical_classifier trained by
+``scripts/froc_e2e_proof.py`` — synthetic-style weights are fine, the
+measurement is about decode+compute wall, not accuracy).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slide", default="/tmp/hipac_gigapixel/tumor_giant.tif")
+    ap.add_argument("--models", default="/tmp/hipac_froc/models")
+    ap.add_argument("--stride", type=int, default=112)
+    ap.add_argument("--batch_size", type=int, default=128)
+    ap.add_argument("--out", default="docs/proofs/giga_ms_report.json")
+    a = ap.parse_args()
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.multiscale import (
+        predict_slide_multiscale,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
+        predict_slide,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.train.checkpoints import (
+        load_model,
+    )
+
+    ms_vars = load_model(os.path.join(a.models, "hierarchical_classifier"))
+    clf_vars = load_model(os.path.join(a.models, "resnet18_patch_classifier"))
+    report: dict = {
+        "metric": "gigapixel_multiscale_cascade_wall",
+        "slide": a.slide,
+        "stride": a.stride,
+    }
+
+    t0 = time.time()
+    probs, grid = predict_slide(
+        a.slide, clf_vars, level=3, stride=a.stride,
+        batch_size=a.batch_size,
+    )
+    report["single_level_s"] = round(time.time() - t0, 1)
+    report["grid"] = [int(grid.ny), int(grid.nx)]
+    report["tissue_cells"] = int((probs > 0).sum())
+
+    t0 = time.time()
+    full, _ = predict_slide_multiscale(
+        a.slide, ms_vars, levels=(2, 3), stride=a.stride,
+        batch_size=a.batch_size,
+    )
+    report["multiscale_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    casc, _ = predict_slide_multiscale(
+        a.slide, ms_vars, levels=(2, 3), stride=a.stride,
+        batch_size=a.batch_size, cascade="auto",
+    )
+    report["multiscale_cascade_s"] = round(time.time() - t0, 1)
+    # survivors: cells whose cascade output differs from non-tissue AND
+    # match the full fused values (the rest carry the screen margin)
+    agree = np.isclose(casc, full, atol=1e-5)
+    report["cells_with_fused_values"] = int(
+        (agree & (full > 0)).sum()
+    )
+    report["speedup_vs_full_multiscale"] = round(
+        report["multiscale_s"] / max(report["multiscale_cascade_s"], 1e-9), 2
+    )
+    os.makedirs(os.path.dirname(a.out), exist_ok=True)
+    with open(a.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,4 +30,11 @@ python scripts/ntxent_bench.py --sizes 4096,16384,32768 | tee /tmp/ntxent_bench_
 echo "== FROC proof: fill the int8 phases (resume keeps recorded phases)"
 python scripts/froc_e2e_proof.py --resume
 
+echo "== gigapixel multiscale +- cascade wall (needs the gigapixel fixture)"
+if [ -f /tmp/hipac_gigapixel/tumor_giant.tif ]; then
+    python scripts/giga_ms_bench.py
+else
+    echo "   fixture missing; fabricate with scripts/gigapixel_proof.py first"
+fi
+
 echo "== done; update docs/PERFORMANCE.md and docs/proofs/ from the outputs above"
