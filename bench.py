@@ -165,12 +165,12 @@ def run_bench_int8(batch_size: int = 512, iters: int = 50, warmup: int = 5,
     }
 
 
-def _watchdog(seconds: float = 600.0) -> None:
-    """Emit an error JSON line and hard-exit if the device never comes up.
+def _watchdog(seconds: float, phase: str):
+    """Emit an error JSON line and hard-exit if ``phase`` never completes.
 
     TPU backend initialization is a blocking C call with no timeout of its
     own; when the device tunnel is down the whole bench would hang forever.
-    The driver needs ONE JSON line either way.
+    The driver needs ONE JSON line either way. Returns a disarm callable.
     """
     import os
     import threading
@@ -184,19 +184,30 @@ def _watchdog(seconds: float = 600.0) -> None:
                 "value": 0.0,
                 "unit": "patches/s/chip",
                 "vs_baseline": 0.0,
-                "error": f"device init/bench did not complete in "
-                         f"{seconds:.0f}s (TPU tunnel down?)",
+                "error": f"{phase} did not complete in {seconds:.0f}s "
+                         f"(TPU tunnel down?)",
             }), flush=True)
             os._exit(2)
 
     threading.Thread(target=watch, daemon=True).start()
-    _watchdog.done = done  # type: ignore[attr-defined]
+    return done.set
 
 
 if __name__ == "__main__":
     import sys
 
-    _watchdog(600.0)
+    # phase 1 guard: backend init + one tiny op (the call that actually
+    # hangs when the tunnel is down). Generous: remote compile of even a
+    # trivial program can take ~2 min cold.
+    disarm = _watchdog(300.0, "device init")
+    import jax as _jax
+
+    float(_jax.jit(lambda x: x + 1)(_jax.numpy.zeros(())))
+    disarm()
+    # phase 2 guard: the measurement itself — hours-long means something
+    # is wrong (a hung remote-compile service mid-run), and the driver
+    # still needs its one JSON line
+    disarm = _watchdog(3600.0, "benchmark")
     if "--int8" in sys.argv:
         result = run_bench_int8(stem_s2d=False if "--no-s2d" in sys.argv else None)
     elif "--float-only" in sys.argv or "--unfolded" in sys.argv:
@@ -210,5 +221,5 @@ if __name__ == "__main__":
         result["int8_metric"] = int8["metric"]
         result["int8_value"] = int8["value"]
         result["int8_vs_baseline"] = int8["vs_baseline"]
-    _watchdog.done.set()  # type: ignore[attr-defined]
+    disarm()
     print(json.dumps(result))

@@ -287,6 +287,24 @@ def main() -> None:
 
     # ---- phase 4c: hierarchical cascade inference ----------------------
     if not a.skip_multiscale and "multiscale_cascade" not in report:
+        # require the fitted operating point — without it the CLI falls
+        # back to the full fused pass and this phase would record a
+        # "cascade" timing that never cascaded
+        from ss25_hierarchical_multiscale_image_classification_tpu.train.checkpoints import (
+            load_model,
+        )
+
+        cal = dict(
+            load_model(os.path.join(models, "hierarchical_classifier"))
+            .get("calibration", {}) or {}
+        )
+        if "cascade_margin" not in cal:
+            raise SystemExit(
+                "phase 4c: the multiscale artifact has no cascade_margin "
+                "(trained before the operating point existed) — delete "
+                "the 'multiscale' key from the report and --resume to "
+                "retrain it first"
+            )
         t_eval = cli(
             ["--predict_slide", os.path.join(a.root, "test", "img"),
              "--multiscale", "--levels", "2,3", "--run_evaluation",
@@ -294,7 +312,9 @@ def main() -> None:
             a.root, models,
         )
         report["multiscale_cascade"] = {
-            **froc(), "cascade_floor": "auto (artifact operating point)",
+            **froc(),
+            "cascade_floor": f"auto (artifact operating point, margin "
+                             f"{cal['cascade_margin']:.4g})",
             "seconds_predict_plus_froc_one_command": round(t_eval, 1),
         }
         print(f"[multiscale cascade predict+froc] {t_eval:.1f}s → "

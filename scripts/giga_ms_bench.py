@@ -87,7 +87,7 @@ def main() -> None:
     report["speedup_vs_full_multiscale"] = round(
         report["multiscale_s"] / max(report["multiscale_cascade_s"], 1e-9), 2
     )
-    os.makedirs(os.path.dirname(a.out), exist_ok=True)
+    os.makedirs(os.path.dirname(a.out) or ".", exist_ok=True)
     with open(a.out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report))

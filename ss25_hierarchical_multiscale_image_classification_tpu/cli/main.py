@@ -18,17 +18,8 @@ import argparse
 import os
 import sys
 
-# Honor JAX_PLATFORMS at the CLI surface. The axon TPU plugin's
-# sitecustomize sets ``jax_platforms`` programmatically, which outranks
-# the environment variable — so the documented
-# ``JAX_PLATFORMS=cpu python main.py ...`` invocation would silently
-# initialize the TPU backend anyway (and hang if the tunnel is down).
-# Re-apply the user's choice before any backend initialization.
-if os.environ.get("JAX_PLATFORMS"):
-    import jax as _jax
-
-    _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-
+# (JAX_PLATFORMS is honored by the package __init__, which importing
+# Config below executes — no duplicate guard needed here.)
 from ss25_hierarchical_multiscale_image_classification_tpu.config import (
     Config,
     DataConfig,
@@ -129,8 +120,24 @@ def build_parser() -> argparse.ArgumentParser:
                              "0.05; the FROC consumer ranks and sweeps "
                              "thresholds itself, so a low floor only adds "
                              "operating points)")
-    parser.add_argument("--cascade", type=str, nargs="?", const="auto",
-                        default=None,
+    def _cascade_value(v: str):
+        if v == "auto":
+            return v
+        try:
+            f = float(v)
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f"--cascade expects 'auto' or a probability in [0, 1), "
+                f"got {v!r}"
+            )
+        if not 0.0 <= f < 1.0:
+            raise argparse.ArgumentTypeError(
+                f"--cascade probability must be in [0, 1), got {f}"
+            )
+        return f
+
+    parser.add_argument("--cascade", type=_cascade_value, nargs="?",
+                        const="auto", default=None,
                         help="With --predict_slide --multiscale: hierarchical"
                              " cascade inference — screen every tissue cell"
                              " with the base-level aux head alone and run"
@@ -606,10 +613,7 @@ def main(argv=None) -> int:
             if args.stride:
                 ms_kw["stride"] = args.stride
             if args.cascade is not None:
-                ms_kw["cascade"] = (
-                    args.cascade if args.cascade == "auto"
-                    else float(args.cascade)
-                )
+                ms_kw["cascade"] = args.cascade
             if args.int8:
                 from ss25_hierarchical_multiscale_image_classification_tpu.models.quant_artifact import (
                     TRUNK_ARTIFACT,

@@ -331,9 +331,14 @@ def predict_slide_multiscale(
       near p=0.5, so absolute floors well below 0.5 may keep everything;
       the auto operating point adapts to the screen's actual margins.
 
-    Screened-out tissue cells carry their screen margin in ALL columns.
-    Requires an artifact with aux heads (ignored otherwise); with a
-    persisted ``qtree`` the screen runs the quantized trunk, else float.
+    Screened-out tissue cells carry their screen margin in the
+    ``aux_base`` column (the screen IS that head) and the selected output
+    column — the shipped surface stays dense for overlays and threshold
+    sweeps — while the other component columns stay non-tissue, so a
+    component CSV exported under cascade reports its own surface
+    restricted to the survivors, never a silent mix. Requires an artifact
+    with aux heads (ignored otherwise); with a persisted ``qtree`` the
+    screen runs the quantized trunk, else float.
 
     ``cell_filter`` (internal) restricts evaluation to a boolean
     (ny, nx) mask — the cascade's second pass.
@@ -712,11 +717,18 @@ def predict_slide_multiscale(
             grids[:, iy, ix] = probs[i]
         if screen_margins is not None:
             # screened-out tissue cells carry the base-level screen margin
-            # in every column: an honest single-scale estimate that keeps
-            # overlays dense and (for cascade ≤ the emission floor) never
-            # enters the detection set
+            # ONLY where it is genuinely that estimate: the aux_base
+            # column (the screen IS the aux_base head) and the SELECTED
+            # output column (keeps the shipped surface dense for overlays
+            # and threshold sweeps). The other component columns stay
+            # non-tissue — a fusion/aux CSV exported under cascade must
+            # not silently mix in screen values (it reports the fused
+            # surface restricted to the survivors).
             fill = (screen_margins > NON_TISSUE_MARGIN) & ~cell_filter
-            grids[:, fill] = screen_margins[fill]
+            grids[COMBINE_COLUMNS.index("aux_base"), fill] = (
+                screen_margins[fill]
+            )
+            grids[col, fill] = screen_margins[fill]
         if output == "prob":
             grids = sigmoid(grids)
         out = grids[col]

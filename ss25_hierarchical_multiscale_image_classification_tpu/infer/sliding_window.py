@@ -502,7 +502,14 @@ def nms_detections(
             wy_lo, wy_hi = max(0, gy - com_radius), min(ny, gy + com_radius + 1)
             wx_lo, wx_hi = max(0, gx - com_radius), min(nx, gx + com_radius + 1)
             w = weights[wy_lo:wy_hi, wx_lo:wx_hi].copy()
-            if w[gy - wy_lo, gx - wx_lo] > 0.0:
+            # a zero-weight peak (emitted below the decision boundary)
+            # carries no localization information of its own and has no
+            # component to restrict to — keep its argmax center rather
+            # than letting a DIFFERENT lesion's residual mass inside the
+            # window drag the reported point away
+            if w[gy - wy_lo, gx - wx_lo] <= 0.0:
+                w[:] = 0.0
+            else:
                 w = np.where(
                     _component_mask(w > 0.0, gy - wy_lo, gx - wx_lo), w, 0.0
                 )

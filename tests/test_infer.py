@@ -358,3 +358,26 @@ def test_centroid_localization_hits_sub_footprint_lesion():
 
     assert froc_hits(dets_argmax) == 0.0  # argmax center never inside
     assert froc_hits(dets_com) > 0.0      # centroid lands in the outline
+
+
+def test_nms_centroid_zero_weight_peak_keeps_argmax_center():
+    """A peak emitted below the decision boundary (emission floor <
+    p <= 0.5) has zero localization weight of its own; its reported point
+    must stay at the argmax center rather than be dragged by a stronger
+    neighboring lesion's residual mass inside the window."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.grid.pyramid import (
+        PatchGrid,
+    )
+
+    grid = PatchGrid(level=3, width=3584, height=3584, downsample=8.0,
+                     patch_size=224, stride=56)
+    probs = np.zeros((8, 8), np.float32)
+    probs[2, 2] = 0.9   # strong lesion: detected first, suppressed r=1
+    probs[2, 4] = 0.4   # weak second lesion, below the 0.5 boundary
+    dets = nms_detections(probs, grid, threshold=0.1, radius_cells=1)
+    assert len(dets) == 2
+    (_, x1, _), (p2, x2, y2) = dets
+    assert p2 == pytest.approx(0.4)
+    # unmoved: (2,2)'s weight survives suppression by design, but must
+    # not pull the zero-weight peak's coordinate
+    assert (x2, y2) == ((4 * 56 + 112) * 8, (2 * 56 + 112) * 8)

@@ -557,9 +557,14 @@ def test_predict_multiscale_cascade(synthetic_case):
     for k in fcomps:
         np.testing.assert_array_equal(fcomps[k], ccomps[k])
 
-    # median tissue probability as the floor: some cells screened out
+    # a floor BETWEEN two distinct sorted tissue probabilities near the
+    # median: some cells screened out, and no cell sits exactly on the
+    # boundary (robust to ~1e-7 drift between screen and fused programs)
     tissue = fcomps["aux_base"] > NON_TISSUE_MARGIN
-    floor = float(np.median(sigmoid(fcomps["aux_base"][tissue])))
+    u = np.unique(sigmoid(fcomps["aux_base"][tissue]))
+    assert len(u) >= 2
+    k = len(u) // 2
+    floor = float(0.5 * (u[k - 1] + u[k]))
     sel, _, scomps = predict_slide_multiscale(
         slide_path, variables, cascade=floor, **kw
     )
@@ -571,9 +576,20 @@ def test_predict_multiscale_cascade(synthetic_case):
         np.testing.assert_allclose(
             scomps[k][survived], fcomps[k][survived], atol=1e-5
         )
-        # screened out: the base-level screen margin in every column
+    # screened out: the screen margin ONLY in aux_base and the selected
+    # output column (ensemble here — the pre-mode-selection default);
+    # other component surfaces stay non-tissue so exported CSVs never mix
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
+        NON_TISSUE_MARGIN as NTM,
+    )
+
+    for k in ("aux_base", "ensemble"):
         np.testing.assert_allclose(
             scomps[k][screened], fcomps["aux_base"][screened], atol=1e-5
+        )
+    for k in ("fusion", "aux", "ensemble_base"):
+        np.testing.assert_array_equal(
+            scomps[k][screened], np.full(int(screened.sum()), NTM)
         )
     # non-tissue untouched
     np.testing.assert_array_equal(
@@ -655,9 +671,14 @@ def test_predict_multiscale_cascade_auto_operating_point(synthetic_case):
     )
     np.testing.assert_array_equal(full, auto_missing)
 
-    # fit a floor at the median tissue screen margin -> half screened out
+    # fit a floor BETWEEN two distinct sorted screen margins near the
+    # median (a floor AT a data point would make the boundary cell's
+    # side depend on ~1e-7 drift between the screen and fused programs)
     tissue = fcomps["aux_base"] > NON_TISSUE_MARGIN
-    floor = float(np.median(fcomps["aux_base"][tissue]))
+    u = np.unique(fcomps["aux_base"][tissue])
+    assert len(u) >= 2
+    k = len(u) // 2
+    floor = float(0.5 * (u[k - 1] + u[k]))
     variables["calibration"]["cascade_margin"] = floor
     sel, _, scomps = predict_slide_multiscale(
         slide_path, variables, cascade="auto", **kw
@@ -668,6 +689,16 @@ def test_predict_multiscale_cascade_auto_operating_point(synthetic_case):
     np.testing.assert_allclose(
         scomps["fusion"][survived], fcomps["fusion"][survived], atol=1e-5
     )
+    # screened-out cells: fusion stays non-tissue; aux_base carries the
+    # screen margin
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
+        NON_TISSUE_MARGIN as NTM,
+    )
+
+    np.testing.assert_array_equal(
+        scomps["fusion"][screened], np.full(int(screened.sum()), NTM)
+    )
     np.testing.assert_allclose(
-        scomps["fusion"][screened], fcomps["aux_base"][screened], atol=1e-5
+        scomps["aux_base"][screened], fcomps["aux_base"][screened],
+        atol=1e-5,
     )
