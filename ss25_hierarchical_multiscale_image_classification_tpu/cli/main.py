@@ -108,6 +108,12 @@ def build_parser() -> argparse.ArgumentParser:
                              " aux = the per-level-probability ensemble"
                              " baseline; aux_base = the base grid level's aux"
                              " head; ensemble_base = fusion x aux_base mix)")
+    parser.add_argument("--ms_fusion", type=str, default="concat",
+                        choices=["concat", "attention"],
+                        help="With --train_multiscale: how the fused head"
+                             " combines the per-scale trunk features"
+                             " (models/hierarchical.py). Prediction"
+                             " auto-detects the artifact's mode")
     parser.add_argument("--ms_components", action="store_true",
                         help="With --predict_slide --multiscale: also write"
                              " detection CSVs for the fusion-only, per-level"
@@ -508,7 +514,9 @@ def main(argv=None) -> int:
         )
 
         levels = tuple(int(v) for v in args.levels.split(","))
-        train_multiscale_classifier(cfg, levels=levels, epochs=args.epochs)
+        train_multiscale_classifier(
+            cfg, levels=levels, epochs=args.epochs, fusion=args.ms_fusion
+        )
 
     if args.qat:
         from ss25_hierarchical_multiscale_image_classification_tpu.train.qat import (

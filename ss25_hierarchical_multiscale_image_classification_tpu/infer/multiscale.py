@@ -366,9 +366,15 @@ def predict_slide_multiscale(
             slide.level_downsamples[base],
             stride=stride,
         )
-        model = model or HierarchicalPatchClassifier(
-            levels=levels, fusion=fusion
-        )
+        if model is None:
+            # an attention-fusion artifact carries attn_v/attn_w params;
+            # auto-detect so the CLI can serve either fusion mode without
+            # a flag that could contradict the checkpoint
+            if "attn_v" in variables["params"]:
+                fusion = "attention"
+            model = HierarchicalPatchClassifier(
+                levels=levels, fusion=fusion
+            )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         calibration = dict(variables.get("calibration", {}) or {})

@@ -702,3 +702,34 @@ def test_predict_multiscale_cascade_auto_operating_point(synthetic_case):
         scomps["aux_base"][screened], fcomps["aux_base"][screened],
         atol=1e-5,
     )
+
+
+def test_predict_multiscale_autodetects_attention_artifact(synthetic_case):
+    """Prediction rebuilds the fusion mode from the artifact's params
+    (attention artifacts carry attn_v/attn_w), so the CLI serves either
+    mode without a flag that could contradict the checkpoint."""
+    import os
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.multiscale import (
+        predict_slide_multiscale,
+    )
+
+    model = HierarchicalPatchClassifier(
+        levels=(2, 3), fusion="attention", dtype=jnp.float32
+    )
+    s = 64
+    init = {lvl: jnp.zeros((1, s, s, 3), jnp.float32) for lvl in (2, 3)}
+    variables = dict(
+        model.init(jax.random.key(0), init, train=False, with_aux=True)
+    )
+    slide_path = os.path.join(
+        synthetic_case, "train", "img", "tumor_001.wsi.npz"
+    )
+    # model=None: must auto-detect attention from the params
+    probs, grid = predict_slide_multiscale(
+        slide_path, variables, levels=(2, 3), stride=112, batch_size=4,
+        input_size=s,
+    )
+    assert probs.shape == (grid.ny, grid.nx)
+    assert np.isfinite(probs).all()
+    assert (probs >= 0).all() and (probs <= 1).all()
