@@ -733,3 +733,52 @@ def test_predict_multiscale_autodetects_attention_artifact(synthetic_case):
     assert probs.shape == (grid.ny, grid.nx)
     assert np.isfinite(probs).all()
     assert (probs >= 0).all() and (probs <= 1).all()
+
+
+def test_predict_multiscale_cascade_meshed(synthetic_case):
+    """Cascade x mesh composition: the two-pass producer sharded over the
+    virtual 8-device mesh matches the single-device cascade run (screen
+    batches and fused batches both ride the data axis)."""
+    import os
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.multiscale import (
+        predict_slide_multiscale,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
+        NON_TISSUE_MARGIN,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.parallel.mesh import (
+        make_mesh,
+    )
+
+    model = HierarchicalPatchClassifier(levels=(2, 3), dtype=jnp.float32)
+    s = 64
+    init = {lvl: jnp.zeros((1, s, s, 3), jnp.float32) for lvl in (2, 3)}
+    variables = dict(
+        model.init(jax.random.key(0), init, train=False, with_aux=True)
+    )
+
+    slide_path = os.path.join(
+        synthetic_case, "train", "img", "tumor_001.wsi.npz"
+    )
+    kw = dict(levels=(2, 3), stride=112, batch_size=8, model=model,
+              input_size=s, output="margin")
+    # pick a floor between distinct screen margins so both runs partition
+    # the cells identically
+    _, _, comps = predict_slide_multiscale(
+        slide_path, variables, return_components=True, **kw
+    )
+    tissue = comps["aux_base"] > NON_TISSUE_MARGIN
+    u = np.unique(comps["aux_base"][tissue])
+    variables["calibration"] = {
+        "cascade_margin": float(0.5 * (u[len(u) // 2 - 1] + u[len(u) // 2]))
+    }
+    ref, _ = predict_slide_multiscale(
+        slide_path, variables, cascade="auto", **kw
+    )
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    got, _ = predict_slide_multiscale(
+        slide_path, variables, cascade="auto", mesh=mesh, **kw
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
