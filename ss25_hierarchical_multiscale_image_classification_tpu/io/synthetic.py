@@ -41,6 +41,16 @@ class SyntheticSlideSpec:
     #: fractional (x, y) vertices; empty tuple = normal slide
     seed: int = 0
     noise: float = 8.0
+    #: "tint": tumor is a flat darker-purple shift — separable at every
+    #: pyramid level (the easy fixture). "texture": tumor keeps the
+    #: tissue's MEAN color but carries a zero-mean 4-px checkerboard
+    #: (±texture_amp) — 2x box-downsampling to level 2 preserves the
+    #: full amplitude (each level-2 px averages one aligned 4x4 cell),
+    #: while level 3 averages 2x2 opposite-sign cells to EXACTLY zero:
+    #: a lesion only finer magnifications can see, the discriminative
+    #: fixture for hierarchical multiscale (docs/ROADMAP.md round-3 gap 3)
+    tumor_style: str = "tint"
+    texture_amp: float = 20.0
 
 
 def _default_tumor_polygon() -> tuple[tuple[float, float], ...]:
@@ -86,7 +96,14 @@ def make_level0(spec: SyntheticSlideSpec) -> tuple[np.ndarray, list[np.ndarray]]
             [(float(x), float(y)) for x, y in poly_px], outline=255, fill=255
         )
         mm = np.asarray(m) > 0
-        img[mm] = np.array([150.0, 90.0, 160.0])[None, :] + tex[mm]
+        if spec.tumor_style == "texture":
+            # zero-mean checkerboard, 4-px cells aligned to the level-0
+            # grid so pyramid box-averaging cancels it exactly at level 3
+            checker = (((xx // 4) + (yy // 4)) % 2).astype(np.float32)
+            checker = (checker * 2.0 - 1.0) * spec.texture_amp
+            img[mm] = base[None, :] + checker[mm, None] + tex[mm]
+        else:
+            img[mm] = np.array([150.0, 90.0, 160.0])[None, :] + tex[mm]
 
     np.clip(img, 0, 255, out=img)
     return img.astype(np.uint8), polygons_l0
