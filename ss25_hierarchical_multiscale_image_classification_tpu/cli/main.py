@@ -114,6 +114,15 @@ def build_parser() -> argparse.ArgumentParser:
                              " combines the per-scale trunk features"
                              " (models/hierarchical.py). Prediction"
                              " auto-detects the artifact's mode")
+    parser.add_argument("--ms_input", type=str, default="resize",
+                        choices=["resize", "crop"],
+                        help="With --train_multiscale: how a finer level's"
+                             " larger patch reaches the trunk input size."
+                             " resize box-downsamples (at 448->224 this"
+                             " equals the coarse level up to rounding);"
+                             " crop keeps the CENTER at native"
+                             " magnification (half FoV, full detail)."
+                             " Prediction follows the artifact")
     parser.add_argument("--ms_components", action="store_true",
                         help="With --predict_slide --multiscale: also write"
                              " detection CSVs for the fusion-only, per-level"
@@ -515,7 +524,8 @@ def main(argv=None) -> int:
 
         levels = tuple(int(v) for v in args.levels.split(","))
         train_multiscale_classifier(
-            cfg, levels=levels, epochs=args.epochs, fusion=args.ms_fusion
+            cfg, levels=levels, epochs=args.epochs, fusion=args.ms_fusion,
+            input_mode=args.ms_input,
         )
 
     if args.qat:

@@ -84,28 +84,42 @@ def join_levels(
 
 
 class MultiscaleDataset:
-    """Batches of co-located patches: dict[level → (B, S, S, 3) uint8]."""
+    """Batches of co-located patches: dict[level → (B, S, S, 3) uint8].
+
+    ``input_mode`` controls how a finer level's larger patch reaches the
+    shared trunk's input size: ``"resize"`` box-downsamples it (WARNING:
+    at the standard 448→224 this composes to the same 8× box average as
+    pyramid level 3 — the fine stream then differs from the coarse one by
+    uint8 rounding only, ≤0.75 gray levels measured); ``"crop"`` takes
+    the CENTER crop at native resolution (half the field of view, full
+    magnification — the pathologist's zoom-in), which actually preserves
+    fine detail. The base level is input-sized either way.
+    """
 
     def __init__(
         self,
         manifests: dict[int, PatchManifest],
         resize_to: int = INPUT_SIZE,
+        input_mode: str = "resize",
     ):
+        if input_mode not in ("resize", "crop"):
+            raise ValueError(f"unknown input_mode {input_mode!r}")
         self.levels = sorted(manifests)
         self.manifests = manifests
         self.readers = {lvl: PatchReader(m) for lvl, m in manifests.items()}
         self.samples = join_levels(manifests)
         self.resize_to = resize_to
+        self.input_mode = input_mode
 
     @classmethod
     def from_patches_dir(
         cls, patches_dir: str, levels: Sequence[int] = (2, 3),
-        resize_to: int = INPUT_SIZE,
+        resize_to: int = INPUT_SIZE, input_mode: str = "resize",
     ) -> "MultiscaleDataset":
         manifests = {
             lvl: load_or_scan_manifest(patches_dir, lvl) for lvl in levels
         }
-        return cls(manifests, resize_to=resize_to)
+        return cls(manifests, resize_to=resize_to, input_mode=input_mode)
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -118,11 +132,24 @@ class MultiscaleDataset:
         self, indices: Sequence[int]
     ) -> tuple[dict[int, np.ndarray], np.ndarray]:
         imgs: dict[int, np.ndarray] = {}
+        base = self.levels[-1]  # coarsest: defines the cell FoV, never cropped
         for lvl in self.levels:
             rows = [self.samples[int(i)].indices[lvl] for i in indices]
-            imgs[lvl] = self.readers[lvl].read_batch(
-                rows, resize_to=self.resize_to
-            )
+            if self.input_mode == "crop" and lvl != base:
+                x = self.readers[lvl].read_batch(rows)  # native size
+                if x.shape[1] > self.resize_to:
+                    off = (x.shape[1] - self.resize_to) // 2
+                    x = x[:, off:off + self.resize_to,
+                          off:off + self.resize_to]
+                elif x.shape[1] != self.resize_to:
+                    x = self.readers[lvl].read_batch(
+                        rows, resize_to=self.resize_to
+                    )
+                imgs[lvl] = np.ascontiguousarray(x)
+            else:
+                imgs[lvl] = self.readers[lvl].read_batch(
+                    rows, resize_to=self.resize_to
+                )
         labels = self.labels[np.asarray(indices, np.int64)]
         return imgs, labels
 

@@ -91,6 +91,7 @@ def make_prob_step_multiscale_int8(
     model, levels, input_size: int = 224, temperature: float = 1.0,
     aux_temperature: float = 1.0, ensemble_weight: float = 1.0,
     with_aux: bool = False, ensemble_base_weight: float = 0.5,
+    input_mode: str = "resize",
 ):
     """int8 variant: the SHARED trunk runs quantized (w8a8, one stacked
     MXU batch over all scales — ``models/quantized.py``); the scale
@@ -114,7 +115,13 @@ def make_prob_step_multiscale_int8(
         parts = []
         for lvl in levels:
             x = batch_by_level[lvl]
-            if x.shape[1] != input_size:
+            # crop never applies to the base (coarsest) level — it defines
+            # the detection cell's field of view
+            if (input_mode == "crop" and lvl != levels[-1]
+                    and x.shape[1] > input_size):
+                off = (x.shape[1] - input_size) // 2
+                x = x[:, off:off + input_size, off:off + input_size]
+            elif x.shape[1] != input_size:
                 f = jax.image.resize(
                     x.astype(jnp.float32),
                     (x.shape[0], input_size, input_size, 3),
@@ -150,6 +157,7 @@ def make_prob_step_multiscale(
     model, levels, input_size: int = 224, temperature: float = 1.0,
     aux_temperature: float = 1.0, ensemble_weight: float = 1.0,
     with_aux: bool = False, ensemble_base_weight: float = 0.5,
+    input_mode: str = "resize",
 ):
     """Jitted step: dict {level: u8 (B, ps_l, ps_l, 3)} → (B, 5) detection
     scores in calibrated log-odds space (``COMBINE_COLUMNS``, see
@@ -169,7 +177,17 @@ def make_prob_step_multiscale(
         prepared = {}
         for lvl in levels:
             x = normalize(batch_by_level[lvl])
-            if x.shape[1] != input_size:
+            if (input_mode == "crop" and lvl != levels[-1]
+                    and x.shape[1] > input_size):
+                # the fine stream at NATIVE magnification: center crop
+                # (half the field of view). Resizing 448→224 composes to
+                # the same 8x box average as pyramid level 3, leaving the
+                # fine stream informationally redundant (uint8 rounding
+                # aside) — see data/multiscale.MultiscaleDataset. The base
+                # (coarsest) level is never cropped: it defines the cell FoV.
+                off = (x.shape[1] - input_size) // 2
+                x = x[:, off:off + input_size, off:off + input_size]
+            elif x.shape[1] != input_size:
                 x = jax.image.resize(
                     x, (x.shape[0], input_size, input_size, 3),
                     method="bilinear",
@@ -285,6 +303,7 @@ def predict_slide_multiscale(
     output: str = "prob",
     cascade: float | None = None,
     cell_filter: "np.ndarray | None" = None,
+    input_mode: str | None = None,
 ):
     """Multiscale tumor probability per co-located grid cell.
 
@@ -392,6 +411,12 @@ def predict_slide_multiscale(
                 calibration.get("ensemble_fine_weight", 0.5),
             )
         )
+        if input_mode is None:
+            # the artifact records how it was trained (0=resize, 1=crop);
+            # serving must match or the fine stream's semantics flip
+            input_mode = (
+                "crop" if int(calibration.get("input_mode", 0)) else "resize"
+            )
         if combine != "auto" and combine not in COMBINE_COLUMNS:
             raise ValueError(f"unknown combine mode {combine!r}")
         if combine == "auto":
@@ -411,6 +436,7 @@ def predict_slide_multiscale(
             temperature=temperature, aux_temperature=aux_temperature,
             ensemble_weight=ensemble_weight, with_aux=has_aux,
             ensemble_base_weight=ensemble_base_weight,
+            input_mode=input_mode,
         )
         if mesh is not None:
             from ss25_hierarchical_multiscale_image_classification_tpu.parallel.mesh import (

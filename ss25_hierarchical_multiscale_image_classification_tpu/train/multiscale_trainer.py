@@ -85,6 +85,7 @@ def train_multiscale_classifier(
     batch_size: int | None = None,
     aux_weight: float = 0.5,
     init_from: str | None = "auto",
+    input_mode: str = "resize",
 ) -> dict:
     """Train the fusion classifier; writes the ``hierarchical_classifier``
     artifact and returns {"variables", "history", "calibration"}.
@@ -107,7 +108,7 @@ def train_multiscale_classifier(
     """
     if dataset is None:
         dataset = MultiscaleDataset.from_patches_dir(
-            cfg.data.patches_dir, levels=levels
+            cfg.data.patches_dir, levels=levels, input_mode=input_mode
         )
     if len(dataset) == 0:
         raise FileNotFoundError(
@@ -243,9 +244,13 @@ def train_multiscale_classifier(
         val_logits.append(np.asarray(logits)[keep])
         val_aux.append(np.asarray(aux)[keep])
         val_labels.append(labels[keep])
+    input_mode = getattr(dataset, "input_mode", input_mode)
     calibration = {"temperature": 1.0, "aux_temperature": 1.0,
                    "ensemble_weight": 1.0, "ensemble_base_weight": 0.5,
-                   "combine": "fusion"}
+                   "combine": "fusion",
+                   # serving must rebuild the same fine-stream semantics
+                   # (0=resize, 1=crop — Orbax trees don't carry strings)
+                   "input_mode": 1 if input_mode == "crop" else 0}
     if val_logits:
         logits = np.concatenate(val_logits)
         aux = np.concatenate(val_aux)
@@ -286,6 +291,7 @@ def train_multiscale_classifier(
                 weights["ensemble_base_weight"]
             ),
             "combine": mode,
+            "input_mode": 1 if input_mode == "crop" else 0,
         }
         # cascade operating point: the base-level screen-margin floor
         # that keeps EVERY validation tumor cell, less a safety margin of

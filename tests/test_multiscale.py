@@ -782,3 +782,105 @@ def test_predict_multiscale_cascade_meshed(synthetic_case):
         slide_path, variables, cascade="auto", mesh=mesh, **kw
     )
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_multiscale_dataset_crop_mode(two_level_patches):
+    """input_mode="crop": the finer level keeps NATIVE magnification (center
+    crop) instead of box-resizing — which at the standard 2x ratio composes
+    to the coarse level's own box average (fine stream redundant)."""
+    ds_c = MultiscaleDataset(
+        two_level_patches, resize_to=64, input_mode="crop"
+    )
+    ds_r = MultiscaleDataset(two_level_patches, resize_to=64)
+    imgs_c, labels_c = ds_c.read_batch([0, 1])
+    imgs_r, labels_r = ds_r.read_batch([0, 1])
+    np.testing.assert_array_equal(labels_c, labels_r)
+    for lvl in (2, 3):
+        assert imgs_c[lvl].shape == imgs_r[lvl].shape == (2, 64, 64, 3)
+    # fine level: exact center crop of the native patch, no resampling
+    rows = [ds_c.samples[i].indices[2] for i in (0, 1)]
+    native = ds_c.readers[2].read_batch(rows)
+    assert native.shape[1] > 64
+    off = (native.shape[1] - 64) // 2
+    np.testing.assert_array_equal(
+        imgs_c[2], native[:, off:off + 64, off:off + 64]
+    )
+    # base level is input-sized the same way in both modes
+    np.testing.assert_array_equal(imgs_c[3], imgs_r[3])
+    with pytest.raises(ValueError):
+        MultiscaleDataset(two_level_patches, input_mode="zoom")
+
+
+def test_prob_step_crop_matches_host_crop():
+    """The in-step device crop lands on the same pixels the dataset's host
+    crop does: crop-mode step on native fine patches == resize-mode step on
+    host-pre-cropped fine patches (resize is identity at equal size)."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.multiscale import (
+        make_prob_step_multiscale,
+    )
+
+    s = 64
+    model = HierarchicalPatchClassifier(levels=(2, 3), dtype=jnp.float32)
+    init = {lvl: jnp.zeros((1, s, s, 3), jnp.float32) for lvl in (2, 3)}
+    variables = model.init(jax.random.key(0), init, train=False)
+    params, bstats = variables["params"], variables["batch_stats"]
+
+    rng = np.random.default_rng(0)
+    fine = rng.integers(0, 256, (2, 2 * s, 2 * s, 3), dtype=np.uint8)
+    coarse = rng.integers(0, 256, (2, s, s, 3), dtype=np.uint8)
+    off = (2 * s - s) // 2
+    pre = np.ascontiguousarray(fine[:, off:off + s, off:off + s])
+
+    step_crop = make_prob_step_multiscale(
+        model, (2, 3), input_size=s, input_mode="crop"
+    )
+    step_id = make_prob_step_multiscale(
+        model, (2, 3), input_size=s, input_mode="resize"
+    )
+    out_crop = step_crop(
+        params, bstats, {2: jnp.asarray(fine), 3: jnp.asarray(coarse)}
+    )
+    out_pre = step_id(
+        params, bstats, {2: jnp.asarray(pre), 3: jnp.asarray(coarse)}
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_crop), np.asarray(out_pre), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_multiscale_trainer_records_input_mode(
+    two_level_patches, tmp_path, synthetic_case
+):
+    """The artifact must record crop vs resize (serving rebuilds the same
+    fine-stream semantics from calibration["input_mode"])."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.config import (
+        Config,
+        DataConfig,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.train.multiscale_trainer import (
+        train_multiscale_classifier,
+    )
+
+    cfg = Config(
+        data=DataConfig(data_dir=synthetic_case),
+        models_dir=str(tmp_path / "models_crop"),
+    )
+    ds = MultiscaleDataset(
+        two_level_patches, resize_to=64, input_mode="crop"
+    )
+    result = train_multiscale_classifier(
+        cfg, dataset=ds, epochs=1, batch_size=8
+    )
+    assert result["calibration"]["input_mode"] == 1
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.train.checkpoints import (
+        load_model,
+        model_artifact_path,
+    )
+
+    saved = load_model(
+        model_artifact_path(
+            str(tmp_path / "models_crop"), "hierarchical_classifier"
+        )
+    )
+    assert int(saved["calibration"]["input_mode"]) == 1
