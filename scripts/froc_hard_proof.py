@@ -17,7 +17,17 @@ a tie.
 Phases (all through the CLI):
   1. extract L3 + L2 patches
   2. single-level train (L3) → fleet producer → official FROC
-  3. multiscale train (2,3) → fused producer (auto surface) → FROC
+     (blind by construction — the floor)
+  3. single-level train (L2) → producer at level 2 → FROC
+     (the fine-level ceiling: what a detector AT the signal-bearing
+     level can do, at 4x the inference cost per unit area)
+  4. multiscale train (2,3), resize input → fused producer → FROC
+     (box-resizing 448→224 composes to the same 8x box average that
+     made level 3, so this mode is nearly blind too — the negative
+     control that motivated input_mode='crop')
+  5. multiscale train (2,3), crop input → fused producer → FROC
+     (the claim: native-magnification fine stream detects through
+     level 2 while the producer keeps the base level's grid)
 
 Writes docs/proofs/froc_hard_report.json. Resumable like the main proof
 (--resume skips phases already recorded).
@@ -166,9 +176,13 @@ def main() -> None:
                 "preserved at level 2 and EXACTLY canceled at level 3 by "
                 "pyramid box-averaging (io/synthetic.py tumor_style="
                 "'texture'). The single-level level-3 producer is blind "
-                "by construction; the hierarchical multiscale producer "
-                "reads levels (2,3) per cell and must detect through the "
-                "level-2 stream. CPU-timed.",
+                "by construction (floor); single-level level-2 is the "
+                "fine-level ceiling at 4x the per-area inference cost; "
+                "multiscale with resize input is the negative control "
+                "(448->224 box-resize recreates the level-3 cancellation); "
+                "multiscale with crop input (--ms_input crop) is the "
+                "claim: the native-magnification fine stream detects "
+                "through level 2 on the base level's detection grid.",
     }
     out_path = a.out or os.path.join(
         REPO, "docs", "proofs", "froc_hard_report.json"
@@ -176,9 +190,10 @@ def main() -> None:
     if a.resume and os.path.exists(out_path):
         with open(out_path) as f:
             report = {**json.load(f), **report}
+        phases = ("seconds_patch", "single_level_L3", "single_level_L2",
+                  "multiscale_resize", "multiscale_crop")
         print(f"[resume] recovered: "
-              f"{[k for k in ('seconds_patch', 'single_level_L3', 'multiscale') if k in report]}",
-              flush=True)
+              f"{[k for k in phases if k in report]}", flush=True)
 
     def checkpoint():
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
@@ -193,14 +208,14 @@ def main() -> None:
                  a.root, models)
         report["seconds_patch"] = round(t, 1)
 
-    one_cmd = ["--predict_slide", os.path.join(a.root, "test", "img"),
-               "--run_evaluation", "--patch_level", "3",
-               "--stride", "56", "--batch_size", "128"]
+    test_img = os.path.join(a.root, "test", "img")
 
     if "single_level_L3" not in report:
         t_train = cli(["--train", "--patch_level", "3", "--epochs", "10",
                        "--batch_size", "32"], a.root, models)
-        t_eval = cli(one_cmd, a.root, models)
+        t_eval = cli(["--predict_slide", test_img, "--run_evaluation",
+                      "--patch_level", "3", "--stride", "56",
+                      "--batch_size", "128"], a.root, models)
         report["single_level_L3"] = {
             **froc(), "seconds_train": round(t_train, 1),
             "seconds_predict_plus_froc": round(t_eval, 1),
@@ -208,20 +223,42 @@ def main() -> None:
         print(f"[single-level L3] → {report['single_level_L3']}", flush=True)
         checkpoint()
 
-    if "multiscale" not in report:
-        t_train = cli(["--train_multiscale", "--levels", "2,3",
-                       "--epochs", "10", "--batch_size", "32"],
-                      a.root, models)
-        t_eval = cli(["--predict_slide", os.path.join(a.root, "test", "img"),
-                      "--multiscale", "--levels", "2,3", "--run_evaluation",
-                      "--stride", "56", "--batch_size", "64"],
-                     a.root, models)
-        report["multiscale"] = {
+    # fine-level ceiling control: same detection raster (448 L0 px => L2
+    # stride 112), trained and predicted entirely at the signal-bearing
+    # level — 4x the pixels per unit slide area of the L3 producer
+    if "single_level_L2" not in report:
+        t_train = cli(["--train", "--patch_level", "2", "--epochs", "10",
+                       "--batch_size", "32"], a.root, models)
+        t_eval = cli(["--predict_slide", test_img, "--run_evaluation",
+                      "--patch_level", "2", "--stride", "112",
+                      "--batch_size", "128"], a.root, models)
+        report["single_level_L2"] = {
             **froc(), "seconds_train": round(t_train, 1),
             "seconds_predict_plus_froc": round(t_eval, 1),
         }
-        print(f"[multiscale] → {report['multiscale']}", flush=True)
+        print(f"[single-level L2] → {report['single_level_L2']}", flush=True)
         checkpoint()
+
+    def multiscale_phase(key: str, input_mode: str) -> None:
+        if key in report:
+            return
+        t_train = cli(["--train_multiscale", "--levels", "2,3",
+                       "--ms_input", input_mode, "--epochs", "10",
+                       "--batch_size", "32"], a.root, models)
+        t_eval = cli(["--predict_slide", test_img,
+                      "--multiscale", "--levels", "2,3", "--run_evaluation",
+                      "--stride", "56", "--batch_size", "64"],
+                     a.root, models)
+        report[key] = {
+            **froc(), "input_mode": input_mode,
+            "seconds_train": round(t_train, 1),
+            "seconds_predict_plus_froc": round(t_eval, 1),
+        }
+        print(f"[{key}] → {report[key]}", flush=True)
+        checkpoint()
+
+    multiscale_phase("multiscale_resize", "resize")
+    multiscale_phase("multiscale_crop", "crop")
 
     checkpoint()
 
