@@ -156,7 +156,8 @@ def bench_classifier(batch: int, iters: int, warmup: int = 3,
     return out
 
 
-def bench_simclr(batch: int, iters: int, warmup: int = 3) -> dict:
+def bench_simclr(batch: int, iters: int, warmup: int = 3,
+                 segments: bool = False) -> dict:
     """Full SimCLR step: two on-device augmented views + NT-Xent fwd/bwd."""
     import jax
     import jax.numpy as jnp
@@ -208,6 +209,68 @@ def bench_simclr(batch: int, iters: int, warmup: int = 3) -> dict:
         )
         for _ in range(2)
     ]
+
+    out: dict = {}
+    if segments:
+        def time_fn(fn, n):
+            res = None
+            for i in range(warmup):
+                res = fn(i)
+            jax.block_until_ready(res)
+            t0 = time.perf_counter()
+            for i in range(n):
+                res = fn(i)
+            jax.block_until_ready(res)
+            return (time.perf_counter() - t0) / n
+
+        key = jax.random.key(1)
+
+        # 1) the two augmented views alone (RandomResizedCrop + flip +
+        #    jitter + grayscale, twice)
+        views = jax.jit(simclr_two_views)
+        dt = time_fn(lambda i: views(key, imgs[i % 2]), iters)
+        out["views_ms"] = round(dt * 1000, 2)
+
+        # 2) views + both encoder/projector forwards + NT-Xent (no bwd)
+        @jax.jit
+        def fwd(params, batch_stats, rng, imgs_u8):
+            va, vb = simclr_two_views(rng, imgs_u8)
+            za, upd = model.apply(
+                {"params": params, "batch_stats": batch_stats}, va,
+                train=True, mutable=["batch_stats"],
+            )
+            zb, _ = model.apply(
+                {"params": params, "batch_stats": upd["batch_stats"]}, vb,
+                train=True, mutable=["batch_stats"],
+            )
+            return nt_xent_loss(za, zb)
+
+        dt = time_fn(lambda i: fwd(params, batch_stats, key, imgs[i % 2]),
+                     iters)
+        out["fwd_ms"] = round(dt * 1000, 2)
+
+        # 3) + bwd (no optimizer)
+        @jax.jit
+        def fwd_bwd(params, batch_stats, rng, imgs_u8):
+            def loss_fn(p):
+                va, vb = simclr_two_views(rng, imgs_u8)
+                za, upd = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, va,
+                    train=True, mutable=["batch_stats"],
+                )
+                zb, _ = model.apply(
+                    {"params": p, "batch_stats": upd["batch_stats"]}, vb,
+                    train=True, mutable=["batch_stats"],
+                )
+                return nt_xent_loss(za, zb)
+
+            return jax.value_and_grad(loss_fn)(params)
+
+        dt = time_fn(
+            lambda i: fwd_bwd(params, batch_stats, key, imgs[i % 2]), iters
+        )
+        out["fwd_bwd_ms"] = round(dt * 1000, 2)
+
     for i in range(warmup):
         params, batch_stats, opt_state, loss = step(
             params, batch_stats, opt_state, jax.random.key(i), imgs[i % 2]
@@ -220,10 +283,9 @@ def bench_simclr(batch: int, iters: int, warmup: int = 3) -> dict:
         )
     float(loss)
     dt = time.perf_counter() - t0
-    return {
-        "step_ms": round(dt / iters * 1000, 2),
-        "patches_per_sec": round(batch * iters / dt, 1),
-    }
+    out["step_ms"] = round(dt / iters * 1000, 2)
+    out["patches_per_sec"] = round(batch * iters / dt, 1)
+    return out
 
 
 def main() -> None:
@@ -246,7 +308,8 @@ def main() -> None:
         "frozen_bn": a.freeze_bn,
     }
     if not a.skip_simclr:
-        out["simclr_train"] = bench_simclr(a.batch, a.iters)
+        out["simclr_train"] = bench_simclr(a.batch, a.iters,
+                                           segments=a.segments)
     print(json.dumps(out))
 
 
