@@ -29,6 +29,7 @@ def bench_one(impl: str, n: int, d: int = 128, iters: int = 10,
               warmup: int = 2) -> dict | None:
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from ss25_hierarchical_multiscale_image_classification_tpu.models.simclr import (
         nt_xent_loss,
@@ -42,20 +43,32 @@ def bench_one(impl: str, n: int, d: int = 128, iters: int = 10,
     z_i = jax.device_put(rng.normal(size=(n, d)).astype(np.float32))
     z_j = jax.device_put(rng.normal(size=(n, d)).astype(np.float32))
 
+    # All `iters` iterations run inside ONE dispatch (lax.scan), so the
+    # wall reading is pure device time — a dispatch-loop timer under the
+    # tunnel can read below the device time when compute overlaps the
+    # Python-side dispatch overhead (the bogus 0.03 ms 2N=8192 reading).
+    # Each iteration's input carries a denormal-scaled dependency on the
+    # previous loss so XLA cannot hoist the loop-invariant body out of
+    # the scan; numerically a_ == a (1e-30 flushes against O(1) data).
     @jax.jit
-    def step(a, b):
-        loss, (ga, gb) = jax.value_and_grad(
-            lambda a_, b_: fn(a_, b_, 0.5), argnums=(0, 1)
-        )(a, b)
+    def steps(a, b):
+        def body(carry, _):
+            loss_prev, ga_acc, gb_acc = carry
+            a_ = a + 1e-30 * loss_prev
+            loss, (ga, gb) = jax.value_and_grad(
+                lambda x, y: fn(x, y, 0.5), argnums=(0, 1)
+            )(a_, b)
+            return (loss, ga_acc + ga, gb_acc + gb), None
+        init = (jnp.float32(0), jnp.zeros_like(a), jnp.zeros_like(b))
+        (loss, ga, gb), _ = lax.scan(body, init, None, length=iters)
         return loss, ga, gb
 
     try:
         for _ in range(warmup):
-            out = step(z_i, z_j)
-        jax.block_until_ready(out)
+            out = steps(z_i, z_j)
+            jax.block_until_ready(out)
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = step(z_i, z_j)
+        out = steps(z_i, z_j)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / iters
     except Exception as e:  # OOM at large 2N for the dense path
@@ -67,6 +80,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="4096,8192,16384")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--out", default=None,
+                    help="report path (default docs/proofs/ntxent_bench.json)")
     a = ap.parse_args()
     report = {"metric": "nt_xent_value_and_grad_ms", "d": 128, "rows": {}}
     for n in (int(s) for s in a.sizes.split(",")):
@@ -76,7 +91,7 @@ def main() -> None:
             print(f"2N={2*n} {impl}: {row[impl]}", flush=True)
         report["rows"][2 * n] = row
     print(json.dumps(report))
-    out = os.path.join(
+    out = a.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs", "proofs", "ntxent_bench.json",
     )
