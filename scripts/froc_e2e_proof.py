@@ -169,9 +169,9 @@ def main() -> None:
         run_froc_evaluation,
     )
 
-    def froc(csv_subdir="model_predictions_csv"):
+    def froc(csv_subdir="model_predictions_csv", models_dir=None):
         r = run_froc_evaluation(
-            os.path.join(models, csv_subdir),
+            os.path.join(models_dir or models, csv_subdir),
             os.path.join(a.root, "test", "mask"),
         )
         return {
@@ -342,15 +342,24 @@ def main() -> None:
 
     # ---- phase 5: hard-negative mining outcome -------------------------
     if not a.skip_mining and "after_hard_negative_mining" not in report:
+        # the retrain would overwrite resnet18_patch_classifier, so this
+        # phase runs in its own models dir — a later --resume of any
+        # earlier phase (e.g. filling int8 after an outage) must quantize
+        # and predict with the ORIGINAL float checkpoint, not the
+        # mining-retrained one. (Mining still appends to the shared patch
+        # store, which is fine: no earlier phase retrains on resume.)
+        models_mining = os.path.join(a.root, "models_mining")
+        shutil.rmtree(models_mining, ignore_errors=True)
+        shutil.copytree(models, models_mining)
         t_mine = cli(["--mine_hard_negatives", "--patch_level", "3"],
-                     a.root, models)
+                     a.root, models_mining)
         t_retrain = cli(
             ["--train", "--patch_level", "3", "--epochs", "10",
-             "--batch_size", "32"], a.root, models,
+             "--batch_size", "32"], a.root, models_mining,
         )
-        t_eval = cli(one_cmd, a.root, models)
+        t_eval = cli(one_cmd, a.root, models_mining)
         report["after_hard_negative_mining"] = {
-            **froc(),
+            **froc(models_dir=models_mining),
             "baseline_froc_score": report["float"]["froc_score"],
             "seconds_mine": round(t_mine, 1),
             "seconds_retrain": round(t_retrain, 1),

@@ -48,6 +48,10 @@ def build_plan(a) -> list[tuple[str, list[str]]]:
          ["--download"] + (["--remote"] if a.remote else []) + base),
         ("download", ["--check_good_downloaded_files"] + base),
         ("prep", ["--prep"] + base),
+        # sentinel stage: no CLI argv — main() runs check_pretrained().
+        # It must be a real plan entry so `--until pretrained` actually
+        # executes the verification it names.
+        ("pretrained", None),
         ("patch", ["--patch", "--patch_level", "all"] + base),
         ("train", ["--train", "--patch_level", "3"] + base),
         ("features", ["--extract_features", "--patch_level", "3"] + base),
@@ -107,9 +111,10 @@ def main() -> int:
     plan = build_plan(a)
     report = {"stages": [], "dry_run": a.dry_run}
     for stage, argv in plan:
-        if stage == "patch":
-            # the pretrained check gates training, so run it right before
+        if argv is None:  # the pretrained-weights verification stage
             check_pretrained(a.pth, a.dry_run)
+            report["stages"].append({"stage": stage, "argv": None})
+            continue
         cmd = [sys.executable, os.path.join(REPO, "main.py")] + argv
         if a.dry_run:
             print(f"[{stage}] {' '.join(cmd)}")

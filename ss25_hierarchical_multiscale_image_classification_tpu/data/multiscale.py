@@ -142,9 +142,13 @@ class MultiscaleDataset:
                     x = x[:, off:off + self.resize_to,
                           off:off + self.resize_to]
                 elif x.shape[1] != self.resize_to:
-                    x = self.readers[lvl].read_batch(
-                        rows, resize_to=self.resize_to
+                    # stored patches smaller than the input size: resize
+                    # the batch we already have instead of re-reading it
+                    from ss25_hierarchical_multiscale_image_classification_tpu.data.patch_store import (
+                        resize_batch,
                     )
+
+                    x = resize_batch(x, self.resize_to)
                 imgs[lvl] = np.ascontiguousarray(x)
             else:
                 imgs[lvl] = self.readers[lvl].read_batch(

@@ -200,3 +200,12 @@ def _resize(img: np.ndarray, edge: int) -> np.ndarray:
     import cv2
 
     return cv2.resize(img, (edge, edge), interpolation=cv2.INTER_AREA)
+
+
+def resize_batch(batch: np.ndarray, edge: int) -> np.ndarray:
+    """Resize an already-read (B, H, W, 3) uint8 batch in memory — for
+    callers that only discover the stored size after the gather (avoids a
+    second disk read just to change resolution)."""
+    if batch.shape[1] == edge and batch.shape[2] == edge:
+        return batch
+    return np.stack([_resize(img, edge) for img in batch])

@@ -48,6 +48,21 @@ from ss25_hierarchical_multiscale_image_classification_tpu.train.losses import (
 log = get_logger("train.multiscale")
 
 
+def deep_supervision_loss(aux, labels, weights, valid, *,
+                          xent=weighted_cross_entropy):
+    """Per-scale auxiliary CE over (B, S, C) logits.
+
+    The flatten is sample-major (row r ↔ sample r // S, scale r % S), so
+    labels/valid must be ``repeat``ed S times — ``tile`` would pair row r
+    with sample r % B, i.e. almost every row with the wrong label
+    (regression-pinned in tests/test_multiscale.py).
+    """
+    s = aux.shape[1]
+    aux_flat = aux.reshape(-1, aux.shape[-1])
+    return xent(aux_flat, jnp.repeat(labels, s), weights,
+                jnp.repeat(valid, s))
+
+
 def warm_start_from_classifier(
     params: dict, batch_stats: dict, clf_variables: dict
 ) -> tuple[dict, dict]:
@@ -172,12 +187,8 @@ def train_multiscale_classifier(
             )
             loss = weighted_cross_entropy(logits, labels, weights, valid)
             # deep supervision: each scale's head must classify alone
-            s = aux.shape[1]
-            aux_flat = aux.reshape(-1, aux.shape[-1])
-            labels_s = jnp.tile(labels, s)
-            valid_s = jnp.tile(valid, s)
-            loss = loss + aux_weight * weighted_cross_entropy(
-                aux_flat, labels_s, weights, valid_s
+            loss = loss + aux_weight * deep_supervision_loss(
+                aux, labels, weights, valid
             )
             return loss, (logits, upd)
 
@@ -263,7 +274,8 @@ def train_multiscale_classifier(
         s = aux.shape[1]
         t_fusion = fit_temperature(logits, labels_np)
         t_aux = fit_temperature(
-            aux.reshape(-1, aux.shape[-1]), np.tile(labels_np, s)
+            # sample-major flatten (B, S, C) → repeat, not tile
+            aux.reshape(-1, aux.shape[-1]), np.repeat(labels_np, s)
         )
 
         # mix in calibrated LOG-ODDS space — the exact space the producer

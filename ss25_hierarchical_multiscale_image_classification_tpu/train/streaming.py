@@ -169,7 +169,11 @@ def train_resnet_classifier_streaming(
             rec_q.put(e)
 
     mesh = make_mesh()
-    model = ResNet18Classifier()
+    # must match the store-based epochs' model exactly — epoch 1 warm-starts
+    # from these variables (a bare ResNet18Classifier() would silently drop
+    # cfg.model.num_classes and train mutable BN despite --freeze_bn)
+    model = ResNet18Classifier(num_classes=cfg.model.num_classes,
+                               frozen_bn=cfg.train.freeze_bn)
     # epoch 0: unweighted CE over the extraction stream
     import optax
 
@@ -186,7 +190,7 @@ def train_resnet_classifier_streaming(
     )
 
     state = replicate(mesh, state)
-    step = make_train_step(None)
+    step = make_train_step(None, frozen_bn=cfg.train.freeze_bn)
     rng = jax.random.key(cfg.train.seed + 1)
 
     thread = threading.Thread(target=producer, daemon=True)

@@ -884,3 +884,40 @@ def test_multiscale_trainer_records_input_mode(
         )
     )
     assert int(saved["calibration"]["input_mode"]) == 1
+
+
+def test_deep_supervision_pairs_labels_sample_major():
+    """(B, S, C) aux logits flatten sample-major — the aux CE must repeat
+    labels (row r ↔ sample r // S), never tile them (row r ↔ sample r % B,
+    which pairs almost every row with the wrong sample's label)."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.train.multiscale_trainer import (
+        deep_supervision_loss,
+    )
+
+    b, s, c = 8, 3, 2
+    labels = jnp.arange(b) % c
+    valid = jnp.ones((b,), jnp.float32)
+    # every scale's logits strongly favor the sample's own label
+    one_hot = jax.nn.one_hot(labels, c) * 20.0
+    aux = jnp.broadcast_to(one_hot[:, None, :], (b, s, c))
+
+    loss_correct = float(deep_supervision_loss(aux, labels, None, valid))
+    assert loss_correct < 1e-3
+
+    # the tile pairing would have scored this same aux as near-chance
+    flat = aux.reshape(-1, c)
+    tiled = jnp.tile(labels, s)
+    from ss25_hierarchical_multiscale_image_classification_tpu.train.losses import (
+        weighted_cross_entropy,
+    )
+    loss_tiled = float(weighted_cross_entropy(flat, tiled, None,
+                                              jnp.tile(valid, s)))
+    assert loss_tiled > 1.0
+
+    # masked (wrap-pad) rows: only the invalid SAMPLE's scale rows drop out
+    valid2 = valid.at[0].set(0.0)
+    bad_row = aux.at[0, :, :].set(
+        jax.nn.one_hot(1 - labels[0], c)[None, :] * 20.0
+    )
+    loss_masked = float(deep_supervision_loss(bad_row, labels, None, valid2))
+    assert loss_masked < 1e-3

@@ -53,12 +53,22 @@ def test_plan_until_truncates(runbook):
     assert "froc" not in stages
 
 
+def test_plan_until_pretrained_runs_the_check_it_names(runbook):
+    """`--until pretrained` must include the pretrained verification stage
+    (it is a real plan entry with argv=None, not a pre-patch hook — a hook
+    keyed on 'patch' would be silently skipped by this truncation)."""
+    plan = runbook.build_plan(_args(runbook, until="pretrained"))
+    stages = [s for s, _ in plan]
+    assert stages[-1] == "pretrained"
+    assert next(argv for s, argv in plan if s == "pretrained") is None
+
+
 def test_remote_flag_propagates(runbook):
     plan = runbook.build_plan(_args(runbook, remote=True))
-    dl = next(argv for s, argv in plan if "--download" in argv)
+    dl = next(argv for s, argv in plan if argv and "--download" in argv)
     assert "--remote" in dl
     plan = runbook.build_plan(_args(runbook, remote=False))
-    dl = next(argv for s, argv in plan if "--download" in argv)
+    dl = next(argv for s, argv in plan if argv and "--download" in argv)
     assert "--remote" not in dl
 
 
@@ -70,7 +80,8 @@ def test_every_stage_argv_parses_against_the_cli(runbook):
 
     parser = build_parser()
     for _stage, argv in runbook.build_plan(_args(runbook)):
-        parser.parse_args(argv)  # raises on drift
+        if argv is not None:  # the pretrained sentinel has no CLI argv
+            parser.parse_args(argv)  # raises on drift
 
 
 def test_pretrained_check_missing_file_message(runbook, tmp_path):
