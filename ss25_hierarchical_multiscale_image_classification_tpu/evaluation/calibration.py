@@ -250,3 +250,39 @@ def pick_ensemble_weight(
              "aux-only %.4f)", best_w, best_auc,
              roc_auc(p_fusion, labels), roc_auc(p_aux, labels))
     return best_w, best_auc
+
+
+def fit_cascade_margin(
+    m_aux_base: np.ndarray,
+    labels: np.ndarray,
+    min_auc: float = 0.6,
+    safety_frac: float = 0.1,
+) -> float | None:
+    """The cascade's fitted operating point: the base-level screen-margin
+    floor that keeps EVERY validation tumor cell, less ``safety_frac`` of
+    the screen's overall margin spread — "skip only cells the screen is
+    surer are normal than it ever was about a val tumor".
+
+    Returns ``None`` — ship NO operating point, so ``--cascade auto``
+    runs the full fused pass — when the screen is uninformative on val
+    (ROC-AUC < ``min_auc``). A blind screen's val-tumor minimum says
+    nothing about where TEST tumors land (e.g. lesions whose texture
+    cancels at the base magnification, ``scripts/froc_hard_proof.py``):
+    any floor fitted to it screens out test tumors at whatever rate it
+    screens tissue. Also ``None`` when val has no tumor cells.
+    """
+    labels = np.asarray(labels)
+    m_aux_base = np.asarray(m_aux_base, np.float64)
+    if not (labels == 1).any() or not (labels == 0).any():
+        return None
+    auc = roc_auc(m_aux_base, labels)
+    if auc < min_auc:
+        log.warning(
+            "base-level screen is uninformative on val (AUC %.3f < %.2f); "
+            "not shipping a cascade operating point — --cascade auto will "
+            "run the full fused pass", auc, min_auc,
+        )
+        return None
+    tumor_min = float(np.min(m_aux_base[labels == 1]))
+    spread = float(np.std(m_aux_base)) + 1e-6
+    return tumor_min - safety_frac * spread

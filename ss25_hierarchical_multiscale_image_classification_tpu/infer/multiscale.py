@@ -530,8 +530,11 @@ def predict_slide_multiscale(
                 )
             elif cascade == "auto" and "cascade_margin" not in calibration:
                 log.info(
-                    "cascade=auto but the artifact predates the fitted "
-                    "operating point; running the full fused pass"
+                    "cascade=auto but the artifact ships no fitted "
+                    "operating point (older artifact, or the base-level "
+                    "screen was uninformative on val — "
+                    "evaluation.calibration.fit_cascade_margin); running "
+                    "the full fused pass"
                 )
             else:
                 from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (

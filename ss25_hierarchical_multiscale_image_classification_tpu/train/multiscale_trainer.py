@@ -305,16 +305,18 @@ def train_multiscale_classifier(
             "combine": mode,
             "input_mode": 1 if input_mode == "crop" else 0,
         }
-        # cascade operating point: the base-level screen-margin floor
-        # that keeps EVERY validation tumor cell, less a safety margin of
-        # 10% of the screen's overall spread — "skip only cells the
-        # screen is surer are normal than it ever was about a val tumor".
-        # Shipped in the artifact; ``--cascade`` with no value uses it
+        # cascade operating point (evaluation.calibration.fit_cascade_margin):
+        # the screen floor that kept every val tumor cell, or None when the
+        # base-level screen is uninformative on val — then NO margin ships
+        # and ``--cascade`` auto falls back to the full fused pass
         # (infer/multiscale.predict_slide_multiscale).
-        if (labels_np == 1).any():
-            tumor_min = float(np.min(m_aux_base[labels_np == 1]))
-            spread = float(np.std(m_aux_base)) + 1e-6
-            calibration["cascade_margin"] = tumor_min - 0.1 * spread
+        from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.calibration import (
+            fit_cascade_margin,
+        )
+
+        margin = fit_cascade_margin(m_aux_base, labels_np)
+        if margin is not None:
+            calibration["cascade_margin"] = margin
         log.info("calibration: %s (proxies %s)", calibration, proxies)
 
     from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.calibration import (

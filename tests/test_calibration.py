@@ -210,3 +210,45 @@ def test_pick_combine_mode_aux_base_candidates():
     assert mode in ("aux_base", "ensemble_base")
     assert proxies[mode] == max(proxies.values())
     assert 0.0 <= weights["ensemble_base_weight"] <= 1.0
+
+
+def test_fit_cascade_margin_informative_screen_keeps_all_tumors():
+    from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.calibration import (
+        fit_cascade_margin,
+    )
+
+    rng = np.random.default_rng(0)
+    labels = np.array([0] * 200 + [1] * 50)
+    # separable screen: normals around -2, tumors around +2
+    m = np.concatenate([rng.normal(-2, 0.5, 200), rng.normal(2, 0.5, 50)])
+    floor = fit_cascade_margin(m, labels)
+    assert floor is not None
+    # the fitted floor keeps EVERY validation tumor cell
+    assert (m[labels == 1] >= floor).all()
+    # and actually screens something out
+    assert (m[labels == 0] < floor).any()
+
+
+def test_fit_cascade_margin_blind_screen_ships_no_operating_point():
+    """A screen with no discriminative power on val (the texture-lesion
+    scenario, scripts/froc_hard_proof.py: the base magnification cancels
+    the lesion signal) must NOT ship a floor — any floor fitted to it
+    screens out test tumors at whatever rate it screens tissue."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.calibration import (
+        fit_cascade_margin,
+    )
+
+    rng = np.random.default_rng(1)
+    labels = np.array([0] * 200 + [1] * 50)
+    m = rng.normal(0, 1, 250)  # identical distributions: AUC ~ 0.5
+    assert fit_cascade_margin(m, labels) is None
+
+
+def test_fit_cascade_margin_degenerate_val():
+    from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.calibration import (
+        fit_cascade_margin,
+    )
+
+    m = np.linspace(-1, 1, 10)
+    assert fit_cascade_margin(m, np.zeros(10, int)) is None  # no tumors
+    assert fit_cascade_margin(m, np.ones(10, int)) is None  # no normals
