@@ -178,8 +178,14 @@ def quantize_trunk_to_artifact(
         "params": variables["params"]["trunk"],
         "batch_stats": variables.get("batch_stats", {}).get("trunk", {}),
     }
+    # calibration batches must reach the trunk the way inference feeds it:
+    # follow the artifact's fine-stream input mode (0=resize, 1=crop)
+    input_mode = "crop" if int(
+        np.asarray(variables.get("calibration", {}).get("input_mode", 0))
+    ) == 1 else "resize"
     ds = MultiscaleDataset.from_patches_dir(
-        cfg.data.patches_dir, levels=levels, resize_to=INPUT_SIZE
+        cfg.data.patches_dir, levels=levels, resize_to=INPUT_SIZE,
+        input_mode=input_mode,
     )
     if len(ds) == 0:
         raise FileNotFoundError(
