@@ -252,20 +252,70 @@ def pick_ensemble_weight(
     return best_w, best_auc
 
 
+def _lesion_groups(slides, cells) -> np.ndarray:
+    """Cluster grid cells into lesions: same slide, spatially adjacent.
+
+    ``cells`` are (N, 2) level-0 cell origins on a regular grid; cells
+    within 1.5× the observed grid pitch (Chebyshev) on the same slide
+    join one group. Union-find; returns an (N,) group-id array.
+    """
+    slides = np.asarray(slides)
+    cells = np.asarray(cells, np.float64)
+    n = len(slides)
+    # grid pitch = the smallest positive coordinate difference observed
+    diffs = []
+    for col in range(cells.shape[1]):
+        u = np.unique(cells[:, col])
+        if len(u) > 1:
+            diffs.append(float(np.min(np.diff(u))))
+    link = 1.5 * min(diffs) if diffs else 1.0
+
+    parent = np.arange(n)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if slides[i] != slides[j]:
+                continue
+            if np.max(np.abs(cells[i] - cells[j])) <= link:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[ri] = rj
+    return np.array([find(i) for i in range(n)])
+
+
 def fit_cascade_margin(
     m_aux_base: np.ndarray,
     labels: np.ndarray,
     min_auc: float = 0.6,
     safety_frac: float = 0.1,
+    slides=None,
+    cells=None,
 ) -> float | None:
-    """The cascade's fitted operating point: the base-level screen-margin
-    floor that keeps EVERY validation tumor cell, less ``safety_frac`` of
-    the screen's overall margin spread — "skip only cells the screen is
-    surer are normal than it ever was about a val tumor".
+    """The cascade's fitted operating point: a base-level screen-margin
+    floor, less ``safety_frac`` of the screen's overall margin spread.
+
+    Reference point, strongest evidence available first:
+
+    - With ``slides`` + ``cells`` (val tumor cell locations): the floor
+      keeps at least one cell of EVERY validation tumor LESION (spatial
+      clusters of tumor cells per slide) — ``min over lesions of max
+      cell margin``. This is the FROC consumer's own semantics
+      (``evaluation_FROC.py:134``: a lesion counts as hit if ANY reported
+      point lands inside it), so a single deep-negative cell inside an
+      otherwise well-screened lesion no longer collapses the floor to
+      keep-everything.
+    - Otherwise: the floor keeps EVERY validation tumor cell (min cell
+      margin) — maximally conservative.
 
     Returns ``None`` — ship NO operating point, so ``--cascade auto``
     runs the full fused pass — when the screen is uninformative on val
-    (ROC-AUC < ``min_auc``). A blind screen's val-tumor minimum says
+    (ROC-AUC < ``min_auc``). A blind screen's val-tumor statistics say
     nothing about where TEST tumors land (e.g. lesions whose texture
     cancels at the base magnification, ``scripts/froc_hard_proof.py``):
     any floor fitted to it screens out test tumors at whatever rate it
@@ -283,6 +333,23 @@ def fit_cascade_margin(
             "run the full fused pass", auc, min_auc,
         )
         return None
-    tumor_min = float(np.min(m_aux_base[labels == 1]))
+    tum = labels == 1
+    if slides is not None and cells is not None:
+        groups = _lesion_groups(
+            np.asarray(slides)[tum], np.asarray(cells)[tum]
+        )
+        m_tum = m_aux_base[tum]
+        per_lesion_max = np.array(
+            [m_tum[groups == g].max() for g in np.unique(groups)]
+        )
+        tumor_ref = float(per_lesion_max.min())
+        log.info(
+            "cascade operating point: lesion-level fit over %d val "
+            "lesions (weakest lesion's best cell margin %.4g; cell-level "
+            "min would have been %.4g)",
+            len(per_lesion_max), tumor_ref, float(m_tum.min()),
+        )
+    else:
+        tumor_ref = float(np.min(m_aux_base[tum]))
     spread = float(np.std(m_aux_base)) + 1e-6
-    return tumor_min - safety_frac * spread
+    return tumor_ref - safety_frac * spread

@@ -271,6 +271,9 @@ def train_multiscale_classifier(
         slides_np = np.array(
             [dataset.samples[int(i)].slide for i in val_idx]
         )[: len(labels_np)]
+        cells_np = np.array(
+            [dataset.samples[int(i)].cell for i in val_idx], np.float64
+        )[: len(labels_np)]
         s = aux.shape[1]
         t_fusion = fit_temperature(logits, labels_np)
         t_aux = fit_temperature(
@@ -314,7 +317,9 @@ def train_multiscale_classifier(
             fit_cascade_margin,
         )
 
-        margin = fit_cascade_margin(m_aux_base, labels_np)
+        margin = fit_cascade_margin(
+            m_aux_base, labels_np, slides=slides_np, cells=cells_np
+        )
         if margin is not None:
             calibration["cascade_margin"] = margin
         log.info("calibration: %s (proxies %s)", calibration, proxies)

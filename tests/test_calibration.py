@@ -252,3 +252,57 @@ def test_fit_cascade_margin_degenerate_val():
     m = np.linspace(-1, 1, 10)
     assert fit_cascade_margin(m, np.zeros(10, int)) is None  # no tumors
     assert fit_cascade_margin(m, np.ones(10, int)) is None  # no normals
+
+
+def test_fit_cascade_margin_lesion_level_ignores_one_weak_cell():
+    """A lesion survives the screen if ANY of its cells survives (the FROC
+    hit test's semantics) — one deep-negative cell inside an otherwise
+    strong lesion must not collapse the floor to keep-everything."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.calibration import (
+        fit_cascade_margin,
+    )
+
+    rng = np.random.default_rng(2)
+    n_norm = 200
+    m_norm = rng.normal(-2, 0.5, n_norm)
+    # two lesions on two slides: 3 adjacent cells each, one cell of
+    # lesion A sits deep on the normal side
+    m_tum = np.array([3.0, 2.5, -3.5, 2.8, 3.2, 2.9])
+    slides = np.array(
+        ["n"] * n_norm + ["s1", "s1", "s1", "s2", "s2", "s2"]
+    )
+    cells = np.array(
+        [[i * 100.0, 0.0] for i in range(n_norm)]
+        + [[0, 0], [100, 0], [200, 0], [0, 0], [100, 0], [0, 100]],
+        np.float64,
+    )
+    m = np.concatenate([m_norm, m_tum])
+    labels = np.array([0] * n_norm + [1] * 6)
+
+    cell_floor = fit_cascade_margin(m, labels)
+    lesion_floor = fit_cascade_margin(m, labels, slides=slides, cells=cells)
+    assert cell_floor is not None and lesion_floor is not None
+    # cell-level floor is dragged below the -3.5 outlier cell
+    assert cell_floor < -3.5
+    # lesion-level floor sits just under the weakest lesion's BEST cell
+    # (min over lesions of max cell margin = min(3.0, 3.2) = 3.0)
+    assert 2.0 < lesion_floor < 3.0
+    # every lesion keeps at least one cell above the floor
+    for sl in ("s1", "s2"):
+        assert (m[(slides == sl)] >= lesion_floor).any()
+
+
+def test_lesion_groups_clusters_by_slide_and_adjacency():
+    from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.calibration import (
+        _lesion_groups,
+    )
+
+    slides = np.array(["a", "a", "a", "a", "b"])
+    cells = np.array(
+        [[0, 0], [100, 0], [500, 500], [600, 500], [0, 0]], np.float64
+    )
+    g = _lesion_groups(slides, cells)
+    assert g[0] == g[1]          # adjacent on slide a
+    assert g[2] == g[3]          # adjacent on slide a, far from the first
+    assert g[0] != g[2]          # distinct lesions
+    assert g[4] not in (g[0], g[2])  # other slide never joins
