@@ -76,8 +76,22 @@ def main() -> None:
     casc, _ = predict_slide_multiscale(
         a.slide, ms_vars, levels=(2, 3), stride=a.stride,
         batch_size=a.batch_size, cascade="auto",
+        cascade_bailout=1.0,  # unconditional screen: the transfer wall
     )
     report["multiscale_cascade_s"] = round(time.time() - t0, 1)
+
+    # same operating point with the mid-flight bailout probe (default):
+    # when the floor is uninformative on this slide's tissue the screen
+    # is abandoned early, bounding the worst case near the full pass
+    t0 = time.time()
+    bail, _ = predict_slide_multiscale(
+        a.slide, ms_vars, levels=(2, 3), stride=a.stride,
+        batch_size=a.batch_size, cascade="auto",
+    )
+    report["multiscale_cascade_bailout_s"] = round(time.time() - t0, 1)
+    report["bailout_matches_full"] = bool(
+        np.isclose(bail, full, atol=1e-5).all()
+    )
     # survivors: cells whose cascade output differs from non-tissue AND
     # match the full fused values (the rest carry the screen margin)
     agree = np.isclose(casc, full, atol=1e-5)

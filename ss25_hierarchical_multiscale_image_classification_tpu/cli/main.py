@@ -162,6 +162,13 @@ def build_parser() -> argparse.ArgumentParser:
                              " operating point (the screen floor that kept"
                              " every validation tumor cell); an explicit"
                              " probability overrides it")
+    parser.add_argument("--cascade_bailout", type=float, default=None,
+                        help="With --cascade: abandon the screen pass"
+                             " mid-flight and run the full fused pass if"
+                             " more than this fraction of probed tissue"
+                             " survives the floor (the operating point is"
+                             " uninformative on this slide's tissue)."
+                             " Default 0.6; >= 1 disables the probe")
     parser.add_argument("--stride", type=int, default=None,
                         help="Patch-grid stride in level pixels (default: "
                              "patch size, i.e. non-overlapping). Applies to "
@@ -632,6 +639,8 @@ def main(argv=None) -> int:
                 ms_kw["stride"] = args.stride
             if args.cascade is not None:
                 ms_kw["cascade"] = args.cascade
+                if args.cascade_bailout is not None:
+                    ms_kw["cascade_bailout"] = args.cascade_bailout
             if args.int8:
                 from ss25_hierarchical_multiscale_image_classification_tpu.models.quant_artifact import (
                     TRUNK_ARTIFACT,

@@ -302,6 +302,7 @@ def predict_slide_multiscale(
     qtree: dict | None = None,
     output: str = "prob",
     cascade: float | None = None,
+    cascade_bailout: float = 0.6,
     cell_filter: "np.ndarray | None" = None,
     input_mode: str | None = None,
 ):
@@ -349,6 +350,21 @@ def predict_slide_multiscale(
       sigmoid. Note a well-calibrated weak screen concentrates tissue
       near p=0.5, so absolute floors well below 0.5 may keep everything;
       the auto operating point adapts to the screen's actual margins.
+
+    ``cascade_bailout`` bounds the cascade's worst case when the
+    operating point does not transfer to the deployment tissue (the
+    measured gigapixel negative in docs/PERFORMANCE.md: a floor fitted
+    on different-fabricator tissue kept 96% of cells, making the screen
+    pass pure overhead, 0.75x). Once a minimum sample has been screened
+    (1024 cells, or a quarter of small grids, never under two full
+    batches), if the running survivor fraction
+    exceeds this value the screen is ABANDONED mid-flight — the rest of
+    the screen pass is skipped and every tissue cell gets the full
+    fused pass (recall-safe: bailing out never drops a cell the full
+    pass would score). The 0.6 default sits above the measured
+    break-even survivor fraction (screen cost / fused cost ~ 0.44 for
+    two levels => break-even ~ 0.56). ``cascade_bailout >= 1`` disables
+    the probe (round-2 behavior).
 
     Screened-out tissue cells carry their screen margin in the
     ``aux_base`` column (the screen IS that head) and the selected output
@@ -560,6 +576,22 @@ def predict_slide_multiscale(
                     (lambda x: jax.device_put(x, _in_sharding))
                     if mesh is not None else (lambda x: x)
                 )
+                if cascade == "auto":
+                    cascade_floor = float(calibration["cascade_margin"])
+                else:
+                    cascade_floor = prob_to_margin(float(cascade))
+                # Mid-flight bailout probe: once enough cells have been
+                # screened, a survivor fraction above ``cascade_bailout``
+                # means the screen is uninformative on THIS slide's
+                # tissue — abandon it and run the full fused pass.
+                # sample floor: 1024 cells on real slides, a quarter of
+                # the grid on small ones (else the probe could never
+                # reach its floor), never less than two full batches
+                probe_min = max(
+                    2 * batch_size, min(1024, (n + 3) // 4)
+                )
+                screened = survivors = 0
+                bailed = False
                 screen_margins = np.full(
                     (ny, nx), NON_TISSUE_MARGIN, np.float32
                 )
@@ -575,13 +607,15 @@ def predict_slide_multiscale(
                     spending: tuple | None = None
 
                     def sflush():
-                        nonlocal spending
+                        nonlocal spending, screened, survivors
                         if spending is not None:
                             prev, prev_pos = spending
                             vals = np.asarray(prev)[: len(prev_pos)]
                             ys = [p[0] for p in prev_pos]
                             xs = [p[1] for p in prev_pos]
                             screen_margins[ys, xs] = vals
+                            screened += len(prev_pos)
+                            survivors += int((vals >= cascade_floor).sum())
                             spending = None
 
                     def sdispatch(b, positions):
@@ -616,25 +650,42 @@ def predict_slide_multiscale(
                                     255, np.uint8,
                                 )
                                 spos = []
-                    if spos:
-                        sdispatch(sbatch, spos)
-                    sflush()
+                        if (
+                            cascade_bailout < 1.0
+                            and screened >= probe_min
+                            and survivors > cascade_bailout * screened
+                        ):
+                            bailed = True
+                            break
+                    if not bailed:
+                        if spos:
+                            sdispatch(sbatch, spos)
+                        sflush()
                 finally:
                     sproducer.stop()
-                if cascade == "auto":
-                    cascade_floor = float(calibration["cascade_margin"])
+                if bailed:
+                    log.info(
+                        "cascade: bailout — %d / %d probed cells survive "
+                        "the screen floor %g (> %g of tissue): the "
+                        "operating point is uninformative on this "
+                        "slide's tissue; abandoning the screen and "
+                        "running the full fused pass (recall-safe)",
+                        survivors, screened, cascade_floor,
+                        cascade_bailout,
+                    )
+                    cascade_floor = None
+                    screen_margins = None  # full pass scores every cell
                 else:
-                    cascade_floor = prob_to_margin(float(cascade))
-                cell_filter = screen_margins >= cascade_floor
-                log.info(
-                    "cascade: %d / %d tissue cells survive the base-level "
-                    "screen (margin >= %g%s)",
-                    int(cell_filter.sum()),
-                    int((screen_margins > NON_TISSUE_MARGIN).sum()),
-                    cascade_floor,
-                    ", artifact operating point" if cascade == "auto"
-                    else "",
-                )
+                    cell_filter = screen_margins >= cascade_floor
+                    log.info(
+                        "cascade: %d / %d tissue cells survive the "
+                        "base-level screen (margin >= %g%s)",
+                        int(cell_filter.sum()),
+                        int((screen_margins > NON_TISSUE_MARGIN).sum()),
+                        cascade_floor,
+                        ", artifact operating point" if cascade == "auto"
+                        else "",
+                    )
 
         def fresh_batch():
             return {

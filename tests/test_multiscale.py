@@ -921,3 +921,73 @@ def test_deep_supervision_pairs_labels_sample_major():
     )
     loss_masked = float(deep_supervision_loss(bad_row, labels, None, valid2))
     assert loss_masked < 1e-3
+
+
+def test_predict_multiscale_cascade_bailout(synthetic_case):
+    """Mid-flight bailout: a floor that keeps (nearly) every probed cell
+    means the screen is uninformative on this slide — the cascade
+    abandons the screen pass and returns the FULL fused surfaces
+    (recall-safe worst case, bounding the gigapixel negative in
+    docs/PERFORMANCE.md). ``cascade_bailout >= 1`` restores the
+    screen-everything behavior."""
+    import os
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.multiscale import (
+        predict_slide_multiscale,
+    )
+
+    model = HierarchicalPatchClassifier(levels=(2, 3), dtype=jnp.float32)
+    s = 64
+    init = {lvl: jnp.zeros((1, s, s, 3), jnp.float32) for lvl in (2, 3)}
+    variables = dict(
+        model.init(jax.random.key(0), init, train=False, with_aux=True)
+    )
+    variables["calibration"] = {
+        "temperature": 2.0, "aux_temperature": 1.5, "ensemble_weight": 0.25
+    }
+    slide_path = os.path.join(
+        synthetic_case, "train", "img", "tumor_001.wsi.npz"
+    )
+    kw = dict(levels=(2, 3), stride=112, batch_size=4, model=model,
+              input_size=s, output="margin", return_components=True)
+    full, grid, fcomps = predict_slide_multiscale(slide_path, variables, **kw)
+
+    # keep-everything floor + probe on: the bailout fires once the probe
+    # sample (a quarter of this small grid) is in, and the result is the
+    # full fused pass on EVERY component — no screen-margin fill anywhere
+    casc, _, ccomps = predict_slide_multiscale(
+        slide_path, variables, cascade=1e-9, cascade_bailout=0.6, **kw
+    )
+    for k in fcomps:
+        np.testing.assert_array_equal(fcomps[k], ccomps[k])
+
+    # probe disabled: identical surfaces too (keep-everything floor),
+    # via the screen-everything code path of round 2
+    off, _, ocomps = predict_slide_multiscale(
+        slide_path, variables, cascade=1e-9, cascade_bailout=1.0, **kw
+    )
+    for k in fcomps:
+        np.testing.assert_array_equal(fcomps[k], ocomps[k])
+
+    # a selective floor (median) keeps ~half the tissue — BELOW the 0.6
+    # bailout — so the cascade still screens: screened-out cells stay
+    # non-tissue in the fusion component (the cascade actually ran)
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
+        NON_TISSUE_MARGIN as NTM,
+        sigmoid,
+    )
+
+    tissue = fcomps["aux_base"] > NTM
+    u = np.unique(sigmoid(fcomps["aux_base"][tissue]))
+    assert len(u) >= 2
+    k = len(u) // 2
+    floor = float(0.5 * (u[k - 1] + u[k]))
+    sel, _, scomps = predict_slide_multiscale(
+        slide_path, variables, cascade=floor, cascade_bailout=0.6, **kw
+    )
+    screened = tissue & (sigmoid(fcomps["aux_base"]) < floor)
+    if screened.any():
+        np.testing.assert_array_equal(
+            scomps["fusion"][screened],
+            np.full(int(screened.sum()), NTM),
+        )
