@@ -8,16 +8,42 @@ is ≥ 20,000 patches/sec/chip on TPU v5e (BASELINE.json); ``vs_baseline`` is
 measured/20k.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Outage resilience (round-4): TPU backend init over the tunnel is a blocking
+C call that can hang when the tunnel blips — BENCH_r03 recorded 0.0 because
+a single 300 s init watchdog fired once and gave up. The default invocation
+is now a PARENT that runs each measurement phase (float, int8) in a child
+subprocess with its own init watchdog, retrying failed phases with backoff
+and escalating init timeouts. The parent emits the best completed
+measurement if any phase ever succeeds, and only reports an error line when
+every attempt of every phase failed.
 """
 
 from __future__ import annotations
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 BASELINE_PATCHES_PER_SEC = 20_000.0
+
+# Parent retry policy: per-attempt child init watchdog (seconds) and sleep
+# before the attempt. Escalating init timeouts tolerate a genuinely slow
+# cold init (~2 min observed) while retrying fast on a down tunnel.
+RETRY_SCHEDULE = [
+    # (sleep_before_s, init_watchdog_s)
+    (0, 180),
+    (15, 180),
+    (30, 300),
+    (60, 300),
+    (90, 420),
+    (120, 600),
+]
+PARENT_BUDGET_S = 2700.0  # total wall budget: always emit a line before this
+BENCH_WATCHDOG_S = 900.0  # child phase-2 guard: measurement after init
 
 
 def run_bench(batch_size: int = 512, iters: int = 50, warmup: int = 5,
@@ -82,8 +108,7 @@ def run_bench(batch_size: int = 512, iters: int = 50, warmup: int = 5,
         for _ in range(2)
     ]
 
-    for i in range(warmup):
-        float(step(params, batch_stats, dev_batches[i % 2]))
+    _warmup_with_retry(step, params, batch_stats, dev_batches, warmup)
 
     t0 = time.perf_counter()
     out = None
@@ -148,8 +173,9 @@ def run_bench_int8(batch_size: int = 512, iters: int = 50, warmup: int = 5,
         stage(rng.integers(0, 256, (batch_size, 224, 224, 3), dtype=np.uint8))
         for _ in range(2)
     ]
-    for i in range(warmup):
-        float(step(qtree, dev_batches[i % 2]))
+    _warmup_with_retry(
+        lambda qp, _bs, b: step(qp, b), qtree, None, dev_batches, warmup
+    )
     t0 = time.perf_counter()
     out = None
     for i in range(iters):
@@ -163,6 +189,17 @@ def run_bench_int8(batch_size: int = 512, iters: int = 50, warmup: int = 5,
         "unit": "patches/sec/chip",
         "vs_baseline": round(patches_per_sec / BASELINE_PATCHES_PER_SEC, 3),
     }
+
+
+def _warmup_with_retry(step, params, batch_stats, dev_batches, warmup):
+    """First compile over the tunnel can fail transiently; retry it once."""
+    try:
+        float(step(params, batch_stats, dev_batches[0]))
+    except Exception:
+        time.sleep(10.0)
+        float(step(params, batch_stats, dev_batches[0]))
+    for i in range(1, warmup):
+        float(step(params, batch_stats, dev_batches[i % 2]))
 
 
 def _watchdog(seconds: float, phase: str):
@@ -193,33 +230,152 @@ def _watchdog(seconds: float, phase: str):
     return done.set
 
 
-if __name__ == "__main__":
-    import sys
+def _child_main(argv: list[str]) -> None:
+    """One measurement phase under init + bench watchdogs; prints one JSON."""
+    init_s = 300.0
+    for a in argv:
+        if a.startswith("--init-timeout="):
+            init_s = float(a.split("=", 1)[1])
 
     # phase 1 guard: backend init + one tiny op (the call that actually
-    # hangs when the tunnel is down). Generous: remote compile of even a
-    # trivial program can take ~2 min cold.
-    disarm = _watchdog(300.0, "device init")
+    # hangs when the tunnel is down).
+    disarm = _watchdog(init_s, "device init")
     import jax as _jax
 
     float(_jax.jit(lambda x: x + 1)(_jax.numpy.zeros(())))
     disarm()
-    # phase 2 guard: the measurement itself — hours-long means something
-    # is wrong (a hung remote-compile service mid-run), and the driver
-    # still needs its one JSON line
-    disarm = _watchdog(3600.0, "benchmark")
-    if "--int8" in sys.argv:
-        result = run_bench_int8(stem_s2d=False if "--no-s2d" in sys.argv else None)
-    elif "--float-only" in sys.argv or "--unfolded" in sys.argv:
-        result = run_bench(folded="--unfolded" not in sys.argv)
+    # phase 2 guard: the measurement itself — an hour means something is
+    # wrong (a hung remote-compile service mid-run), and the parent still
+    # needs its one JSON line
+    disarm = _watchdog(BENCH_WATCHDOG_S, "benchmark")
+    if "--child-int8" in argv:
+        result = run_bench_int8(stem_s2d=False if "--no-s2d" in argv else None)
+    elif "--unfolded" in argv:
+        result = run_bench(folded=False)
     else:
-        # default: the float headline metric (round-over-round comparable)
-        # plus the int8 deployment path (--int8 on --extract_features /
-        # --predict_slide; parity documented in docs/PERFORMANCE.md).
         result = run_bench()
-        int8 = run_bench_int8()
-        result["int8_metric"] = int8["metric"]
-        result["int8_value"] = int8["value"]
-        result["int8_vs_baseline"] = int8["vs_baseline"]
     disarm()
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+
+
+def _parse_result(stdout: str) -> dict | None:
+    """Last JSON object line in ``stdout``, or None."""
+    for line in reversed(stdout.strip().splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    return None
+
+
+def _run_child(phase_flag: str, init_timeout: float, extra: list[str],
+               hard_timeout: float) -> dict | None:
+    """Run one child attempt; return its parsed result JSON or None."""
+    cmd = [sys.executable, __file__, phase_flag,
+           f"--init-timeout={init_timeout:.0f}"] + extra
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=hard_timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    except Exception:
+        return None
+    parsed = _parse_result(proc.stdout)
+    if parsed is None or "error" in parsed or parsed.get("value", 0.0) <= 0.0:
+        if parsed is not None:
+            print(f"# attempt failed: {json.dumps(parsed)}", file=sys.stderr)
+        else:
+            tail = (proc.stderr or "").strip().splitlines()[-3:]
+            print("# attempt failed, stderr tail: " + " | ".join(tail),
+                  file=sys.stderr)
+        return None
+    return parsed
+
+
+def _phase_with_retries(phase_flag: str, extra: list[str], t_start: float,
+                        budget_s: float) -> dict | None:
+    """Retry one phase on the schedule until success or budget exhausted."""
+    for i, (sleep_s, init_s) in enumerate(RETRY_SCHEDULE):
+        remaining = budget_s - (time.time() - t_start)
+        # need room for the sleep, the init, and some measurement time
+        if remaining < sleep_s + init_s + 120:
+            # shrink the init window rather than silently skipping the
+            # last chance, as long as a minimally useful attempt fits
+            init_s = remaining - sleep_s - 120
+            if init_s < 60:
+                return None
+        if sleep_s:
+            time.sleep(sleep_s)
+        hard_timeout = init_s + BENCH_WATCHDOG_S + 60
+        remaining = budget_s - (time.time() - t_start)
+        hard_timeout = min(hard_timeout, max(remaining, 60))
+        result = _run_child(phase_flag, init_s, extra, hard_timeout)
+        if result is not None:
+            return result
+        print(f"# {phase_flag} attempt {i + 1} failed "
+              f"(init window {init_s:.0f}s)", file=sys.stderr)
+    return None
+
+
+def _parent_main(argv: list[str]) -> None:
+    t_start = time.time()
+    want_float = "--int8" not in argv
+    want_int8 = "--float-only" not in argv and "--unfolded" not in argv
+    extra = [a for a in argv if a in ("--no-s2d", "--unfolded")]
+
+    float_res = None
+    int8_res = None
+    if want_float:
+        # the headline float metric gets the larger share of the budget
+        float_res = _phase_with_retries(
+            "--child-float", extra, t_start,
+            PARENT_BUDGET_S if not want_int8 else PARENT_BUDGET_S * 0.7,
+        )
+    if want_int8:
+        int8_res = _phase_with_retries(
+            "--child-int8", extra, t_start, PARENT_BUDGET_S - 60,
+        )
+
+    if want_float and not want_int8:
+        result = float_res
+    elif want_int8 and not want_float:
+        result = int8_res
+    elif float_res is not None:
+        result = dict(float_res)
+        if int8_res is not None:
+            result["int8_metric"] = int8_res["metric"]
+            result["int8_value"] = int8_res["value"]
+            result["int8_vs_baseline"] = int8_res["vs_baseline"]
+        else:
+            result["int8_error"] = "int8 phase failed after retries"
+    elif int8_res is not None:
+        # best completed measurement: the float phase never succeeded but
+        # int8 did — report what we measured rather than 0.0
+        result = dict(int8_res)
+        result["float_error"] = "float phase failed after retries"
+    else:
+        result = None
+
+    if result is None:
+        result = {
+            "metric": "resnet18_infer_patches_per_sec",
+            "value": 0.0,
+            "unit": "patches/s/chip",
+            "vs_baseline": 0.0,
+            "error": (
+                f"all phases failed after {len(RETRY_SCHEDULE)} retries over "
+                f"{time.time() - t_start:.0f}s (TPU tunnel down?)"
+            ),
+        }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    if "--child-float" in sys.argv or "--child-int8" in sys.argv:
+        _child_main(sys.argv)
+    else:
+        _parent_main(sys.argv)
