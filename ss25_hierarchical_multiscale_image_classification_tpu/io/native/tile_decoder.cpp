@@ -21,9 +21,12 @@
 #include <cstdint>
 #include <cstring>
 #include <deque>
+#include <list>
+#include <memory>
 #include <mutex>
 #include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -35,6 +38,67 @@ struct LevelInfo {
   uint32_t tile_height = 0;
   bool tiled = false;
   uint16_t dir_index = 0;
+};
+
+// ---------------------------------------------------------------------------
+// Decoded-tile LRU cache.
+//
+// Sliding-window inference reads overlapping full-width bands (stride <
+// patch size), and grid extraction reads patches that straddle tile
+// boundaries — without a cache each compressed tile is decoded 3-7x per
+// slide pass (224-px cells at stride 112 over 256-px tiles: ~4.3x). The
+// cache stores decoded top-down RGB tiles keyed by (directory, linear tile
+// index), shared across all reader slots of a Handle. Entries are
+// shared_ptr so a hit can copy outside the lock while eviction proceeds.
+// ---------------------------------------------------------------------------
+
+using TileData = std::shared_ptr<std::vector<uint8_t>>;
+
+struct TileCache {
+  struct Entry {
+    uint64_t key;
+    TileData data;
+  };
+  std::mutex mu;
+  std::list<Entry> lru;  // front = most recently used
+  std::unordered_map<uint64_t, std::list<Entry>::iterator> map;
+  size_t bytes = 0;
+  size_t capacity = 256ull << 20;  // 256 MB default; hipac_set_cache_bytes
+  uint64_t hits = 0, misses = 0;
+
+  TileData get(uint64_t key) {
+    std::lock_guard<std::mutex> lock(mu);
+    auto it = map.find(key);
+    if (it == map.end()) {
+      ++misses;
+      return nullptr;
+    }
+    lru.splice(lru.begin(), lru, it->second);  // touch
+    ++hits;
+    return it->second->data;
+  }
+
+  void put(uint64_t key, TileData data) {
+    std::lock_guard<std::mutex> lock(mu);
+    if (capacity == 0) return;
+    auto it = map.find(key);
+    if (it != map.end()) return;  // another thread raced the decode
+    lru.push_front(Entry{key, data});
+    map.emplace(key, lru.begin());
+    bytes += data->size();
+    while (bytes > capacity && !lru.empty()) {
+      bytes -= lru.back().data->size();
+      map.erase(lru.back().key);
+      lru.pop_back();
+    }
+  }
+
+  void clear() {
+    std::lock_guard<std::mutex> lock(mu);
+    lru.clear();
+    map.clear();
+    bytes = 0;
+  }
 };
 
 // One lazily-opened TIFF* plus the mutex that serializes every use of it
@@ -53,12 +117,24 @@ struct Handle {
   // deque: growth never invalidates Slot addresses held by workers
   std::deque<Slot> slots;
   std::mutex pool_mutex;  // guards deque growth only
+  TileCache cache;
 
   ~Handle() {
     for (auto& s : slots)
       if (s.tif) TIFFClose(s.tif);
   }
 };
+
+// Cache key: directory index in the top 16 bits, linear tile index below.
+// Linear index fits 48 bits for any real slide (level-0 CAMELYON16 at
+// 256-px tiles is ~10^6 tiles).
+uint64_t tile_key(const LevelInfo& lv, int64_t tx, int64_t ty) {
+  const uint64_t tiles_per_row = (lv.width + lv.tile_width - 1) / lv.tile_width;
+  const uint64_t linear =
+      (static_cast<uint64_t>(ty) / lv.tile_height) * tiles_per_row +
+      static_cast<uint64_t>(tx) / lv.tile_width;
+  return (static_cast<uint64_t>(lv.dir_index) << 48) | linear;
+}
 
 thread_local char g_err[512] = {0};
 
@@ -118,74 +194,112 @@ TIFF* slot_tiff_locked(Handle* h, Slot* s) {
   return s->tif;
 }
 
+// Convert an RGBA buffer (libtiff bottom-up rows) to a top-down RGB tile.
+TileData rgba_to_rgb_topdown(const uint32_t* rgba, int64_t tw, int64_t th,
+                             int64_t valid_rows) {
+  auto rgb = std::make_shared<std::vector<uint8_t>>(
+      static_cast<size_t>(tw) * th * 3, 255);
+  for (int64_t yy = 0; yy < valid_rows; ++yy) {
+    const uint32_t* src_row = rgba + (th - 1 - yy) * tw;
+    uint8_t* dst = rgb->data() + yy * tw * 3;
+    for (int64_t xx = 0; xx < tw; ++xx) {
+      const uint32_t px = src_row[xx];
+      *dst++ = static_cast<uint8_t>(TIFFGetR(px));
+      *dst++ = static_cast<uint8_t>(TIFFGetG(px));
+      *dst++ = static_cast<uint8_t>(TIFFGetB(px));
+    }
+  }
+  return rgb;
+}
+
 // Decode one region of one level into out (h x w x 3, RGB, row-major).
 // (x, y) are LEVEL-space pixel coordinates of the top-left corner.
 // Out-of-bounds area is filled white (the extraction pipeline's pad value,
-// reference src/main.py:700-703).
-bool read_region_level(TIFF* tif, const LevelInfo& lv, int64_t x, int64_t y,
-                       int64_t w, int64_t h, uint8_t* out) {
-  if (!TIFFSetDirectory(tif, lv.dir_index)) {
-    set_err("TIFFSetDirectory failed");
-    return false;
-  }
-  std::memset(out, 255, static_cast<size_t>(w) * h * 3);
+// reference src/main.py:700-703). Decoded tiles/strips land in the
+// Handle's shared LRU cache; hits copy without touching libtiff (the
+// caller still holds its slot mutex, but cached copies don't need the
+// TIFF* at all). ``tif`` may only be used under the caller's slot lock.
+bool read_region_level(Handle* h, TIFF* tif, const LevelInfo& lv, int64_t x,
+                       int64_t y, int64_t w, int64_t hh, uint8_t* out) {
+  bool dir_set = false;  // TIFFSetDirectory once, and only if we decode
+  std::memset(out, 255, static_cast<size_t>(w) * hh * 3);
 
   const int64_t x0 = std::max<int64_t>(x, 0);
   const int64_t y0 = std::max<int64_t>(y, 0);
   const int64_t x1 = std::min<int64_t>(x + w, lv.width);
-  const int64_t y1 = std::min<int64_t>(y + h, lv.height);
+  const int64_t y1 = std::min<int64_t>(y + hh, lv.height);
   if (x0 >= x1 || y0 >= y1) return true;  // fully outside: stays white
 
   if (lv.tiled) {
     const int64_t tw = lv.tile_width, th = lv.tile_height;
-    std::vector<uint32_t> tile(static_cast<size_t>(tw) * th);
+    std::vector<uint32_t> rgba;
     for (int64_t ty = (y0 / th) * th; ty < y1; ty += th) {
       for (int64_t tx = (x0 / tw) * tw; tx < x1; tx += tw) {
-        // RGBA tile decode handles JPEG/YCbCr photometrics uniformly
-        if (!TIFFReadRGBATile(tif, static_cast<uint32_t>(tx),
-                              static_cast<uint32_t>(ty), tile.data())) {
-          set_err("TIFFReadRGBATile failed");
-          return false;
+        const uint64_t key = tile_key(lv, tx, ty);
+        TileData tile = h->cache.get(key);
+        if (!tile) {
+          if (!dir_set) {
+            if (!TIFFSetDirectory(tif, lv.dir_index)) {
+              set_err("TIFFSetDirectory failed");
+              return false;
+            }
+            dir_set = true;
+          }
+          // RGBA tile decode handles JPEG/YCbCr photometrics uniformly
+          rgba.resize(static_cast<size_t>(tw) * th);
+          if (!TIFFReadRGBATile(tif, static_cast<uint32_t>(tx),
+                                static_cast<uint32_t>(ty), rgba.data())) {
+            set_err("TIFFReadRGBATile failed");
+            return false;
+          }
+          tile = rgba_to_rgb_topdown(rgba.data(), tw, th, th);
+          h->cache.put(key, tile);
         }
         const int64_t cx0 = std::max(tx, x0), cx1 = std::min(tx + tw, x1);
         const int64_t cy0 = std::max(ty, y0), cy1 = std::min(ty + th, y1);
         for (int64_t yy = cy0; yy < cy1; ++yy) {
-          // TIFFReadRGBATile returns bottom-up rows
-          const uint32_t* src_row = tile.data() + (th - 1 - (yy - ty)) * tw;
-          uint8_t* dst = out + ((yy - y) * w + (cx0 - x)) * 3;
-          for (int64_t xx = cx0; xx < cx1; ++xx) {
-            const uint32_t px = src_row[xx - tx];
-            *dst++ = static_cast<uint8_t>(TIFFGetR(px));
-            *dst++ = static_cast<uint8_t>(TIFFGetG(px));
-            *dst++ = static_cast<uint8_t>(TIFFGetB(px));
-          }
+          std::memcpy(out + ((yy - y) * w + (cx0 - x)) * 3,
+                      tile->data() + ((yy - ty) * tw + (cx0 - tx)) * 3,
+                      static_cast<size_t>(cx1 - cx0) * 3);
         }
       }
     }
   } else {
     // strip-organized level: decode overlapping rows via RGBA strips
     uint32_t rows_per_strip = 0;
+    if (!TIFFSetDirectory(tif, lv.dir_index)) {
+      set_err("TIFFSetDirectory failed");
+      return false;
+    }
     TIFFGetFieldDefaulted(tif, TIFFTAG_ROWSPERSTRIP, &rows_per_strip);
     if (rows_per_strip == 0) rows_per_strip = lv.height;
-    std::vector<uint32_t> strip(static_cast<size_t>(lv.width) * rows_per_strip);
+    // strips cache like full-width tiles: tw = level width, th = strip rows
+    LevelInfo slv = lv;
+    slv.tile_width = lv.width;
+    slv.tile_height = rows_per_strip;
+    std::vector<uint32_t> rgba;
     for (int64_t sy = (y0 / rows_per_strip) * rows_per_strip; sy < y1;
          sy += rows_per_strip) {
       const int64_t rows =
           std::min<int64_t>(rows_per_strip, lv.height - sy);
-      if (!TIFFReadRGBAStrip(tif, static_cast<uint32_t>(sy), strip.data())) {
-        set_err("TIFFReadRGBAStrip failed");
-        return false;
+      const uint64_t key = tile_key(slv, 0, sy);
+      TileData strip = h->cache.get(key);
+      if (!strip) {
+        rgba.resize(static_cast<size_t>(lv.width) * rows_per_strip);
+        if (!TIFFReadRGBAStrip(tif, static_cast<uint32_t>(sy), rgba.data())) {
+          set_err("TIFFReadRGBAStrip failed");
+          return false;
+        }
+        // TIFFReadRGBAStrip puts row sy at buffer row (rows-1): convert
+        // with the VALID row count as the flip height
+        strip = rgba_to_rgb_topdown(rgba.data(), lv.width, rows, rows);
+        h->cache.put(key, strip);
       }
       const int64_t cy0 = std::max(sy, y0), cy1 = std::min(sy + rows, y1);
       for (int64_t yy = cy0; yy < cy1; ++yy) {
-        const uint32_t* src_row = strip.data() + (rows - 1 - (yy - sy)) * lv.width;
-        uint8_t* dst = out + ((yy - y) * w + (x0 - x)) * 3;
-        for (int64_t xx = x0; xx < x1; ++xx) {
-          const uint32_t px = src_row[xx];
-          *dst++ = static_cast<uint8_t>(TIFFGetR(px));
-          *dst++ = static_cast<uint8_t>(TIFFGetG(px));
-          *dst++ = static_cast<uint8_t>(TIFFGetB(px));
-        }
+        std::memcpy(out + ((yy - y) * w + (x0 - x)) * 3,
+                    strip->data() + ((yy - sy) * lv.width + x0) * 3,
+                    static_cast<size_t>(x1 - x0) * 3);
       }
     }
   }
@@ -247,7 +361,34 @@ int hipac_read_region(void* handle, int level, int64_t x, int64_t y,
     set_err("cannot open worker TIFF handle");
     return -1;
   }
-  return read_region_level(tif, h->levels[level], x, y, w, hh, out) ? 0 : -1;
+  return read_region_level(h, tif, h->levels[level], x, y, w, hh, out) ? 0
+                                                                       : -1;
+}
+
+// Configure the decoded-tile LRU cache (bytes; 0 disables). Applies per
+// open handle; the default is 256 MB.
+int hipac_set_cache_bytes(void* handle, int64_t bytes) {
+  auto* h = static_cast<Handle*>(handle);
+  if (bytes < 0) {
+    set_err("negative cache size");
+    return -1;
+  }
+  {
+    std::lock_guard<std::mutex> lock(h->cache.mu);
+    h->cache.capacity = static_cast<size_t>(bytes);
+  }
+  if (bytes == 0) h->cache.clear();
+  return 0;
+}
+
+// Cache observability: decoded-tile hit/miss counters and resident bytes.
+void hipac_cache_stats(void* handle, int64_t* hits, int64_t* misses,
+                       int64_t* bytes) {
+  auto* h = static_cast<Handle*>(handle);
+  std::lock_guard<std::mutex> lock(h->cache.mu);
+  *hits = static_cast<int64_t>(h->cache.hits);
+  *misses = static_cast<int64_t>(h->cache.misses);
+  *bytes = static_cast<int64_t>(h->cache.bytes);
 }
 
 // Batch region read sharded over worker threads.
@@ -286,8 +427,8 @@ int hipac_read_regions(void* handle, int level, const int64_t* coords,
         failures.fetch_add(1);
         continue;
       }
-      if (!read_region_level(tif, lv, coords[2 * i], coords[2 * i + 1], w, hh,
-                             out + i * region_bytes)) {
+      if (!read_region_level(h, tif, lv, coords[2 * i], coords[2 * i + 1], w,
+                             hh, out + i * region_bytes)) {
         failures.fetch_add(1);
       }
     }

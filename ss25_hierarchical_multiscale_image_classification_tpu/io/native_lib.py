@@ -112,6 +112,12 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.c_int64, c.POINTER(c.c_uint8), c.c_int,
     ]
     lib.hipac_read_regions.restype = c.c_int
+    lib.hipac_set_cache_bytes.argtypes = [c.c_void_p, c.c_int64]
+    lib.hipac_set_cache_bytes.restype = c.c_int
+    lib.hipac_cache_stats.argtypes = [
+        c.c_void_p, c.POINTER(c.c_int64), c.POINTER(c.c_int64),
+        c.POINTER(c.c_int64),
+    ]
     lib.hipac_write_pyramid.argtypes = [
         c.c_char_p, c.POINTER(c.POINTER(c.c_uint8)), c.POINTER(c.c_int64),
         c.POINTER(c.c_int64), c.c_int, c.c_int, c.c_int,

@@ -107,6 +107,26 @@ class TiffSlide:
             )
         return out
 
+    def set_cache_bytes(self, bytes_: int) -> None:
+        """Size the decoded-tile LRU cache for this handle (0 disables).
+
+        Overlapping band reads (inference at stride < patch size) and
+        tile-straddling grid patches re-touch compressed tiles 3-7x; the
+        native cache decodes each once. Default 256 MB."""
+        rc = self._lib.hipac_set_cache_bytes(self._handle, int(bytes_))
+        if rc != 0:
+            raise ValueError(native_lib.last_error())
+
+    def cache_stats(self) -> dict:
+        """Decoded-tile cache counters: {hits, misses, bytes}."""
+        h = ctypes.c_int64()
+        m = ctypes.c_int64()
+        b = ctypes.c_int64()
+        self._lib.hipac_cache_stats(
+            self._handle, ctypes.byref(h), ctypes.byref(m), ctypes.byref(b)
+        )
+        return {"hits": h.value, "misses": m.value, "bytes": b.value}
+
     def close(self) -> None:
         if getattr(self, "_handle", None):
             self._lib.hipac_close(self._handle)

@@ -284,3 +284,81 @@ def test_gather_rows_s2d_matches_numpy():
     ref = native_lib.space_to_depth_u8(store[idx])
     assert out.shape == (4, 4, 4, 12)
     np.testing.assert_array_equal(out, ref)
+
+
+def test_tile_cache_stats_and_parity(tiff_case):
+    """Decoded-tile LRU cache: repeat/overlapping reads hit; pixels match
+    the uncached path bit-for-bit; capacity 0 disables caching."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.tiff_slide import (
+        TiffSlide,
+    )
+
+    path, levels = tiff_case
+    cached = TiffSlide(path)
+    uncached = TiffSlide(path)
+    uncached.set_cache_bytes(0)
+
+    # overlapping band reads at stride < patch size (the inference access
+    # pattern): second band re-touches the first band's tiles
+    for y in (0, 112, 224):
+        a = cached.read_region((0, y), 0, (1024, 224))
+        b = uncached.read_region((0, y), 0, (1024, 224))
+        np.testing.assert_array_equal(a, b)
+    st = cached.cache_stats()
+    assert st["hits"] > 0, st
+    assert st["bytes"] > 0
+    assert uncached.cache_stats()["bytes"] == 0
+
+    # batch reads share the cache with single reads
+    coords = np.array([[0, 0], [128, 64], [900, 700]], np.int64)
+    got = cached.read_regions(coords, 0, (96, 96))
+    want = uncached.read_regions(coords, 0, (96, 96))
+    np.testing.assert_array_equal(got, want)
+    cached.close()
+    uncached.close()
+
+
+def test_tile_cache_lru_bound(tiff_case):
+    """Resident bytes never exceed the configured capacity."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.tiff_slide import (
+        TiffSlide,
+    )
+
+    path, levels = tiff_case
+    slide = TiffSlide(path)
+    cap = 2 * 256 * 256 * 3  # two tiles
+    slide.set_cache_bytes(cap)
+    for y in (0, 256, 512):
+        for x in (0, 256, 512, 768):
+            slide.read_region((x, y), 0, (256, 256))
+            assert slide.cache_stats()["bytes"] <= cap
+    # the LRU still serves repeats of the most recent tiles
+    before = slide.cache_stats()["hits"]
+    slide.read_region((768, 512), 0, (256, 256))
+    assert slide.cache_stats()["hits"] > before
+    slide.close()
+
+
+def test_striped_tiff_strip_cache(tmp_path):
+    """Strip-organized TIFF (PIL default layout — the real-data fallback
+    path) reads correctly through the strip cache, including repeats."""
+    from PIL import Image
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.tiff_slide import (
+        TiffSlide,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (300, 400, 3), np.uint8)
+    path = str(tmp_path / "striped.tif")
+    Image.fromarray(img).save(path, compression="tiff_adobe_deflate")
+    slide = TiffSlide(path)
+    np.testing.assert_array_equal(
+        slide.read_region((0, 0), 0, (400, 300)), img
+    )
+    # overlapping re-read exercises strip-cache hits
+    np.testing.assert_array_equal(
+        slide.read_region((50, 40), 0, (100, 200)), img[40:240, 50:150]
+    )
+    assert slide.cache_stats()["hits"] >= 0
+    slide.close()
