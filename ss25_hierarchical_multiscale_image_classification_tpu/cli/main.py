@@ -299,6 +299,11 @@ def main(argv=None) -> int:
     parser = build_parser()
     _reject_unknown_args(parser, argv)
     args = parser.parse_args(argv)
+    if args.cascade_bailout is not None and args.cascade is None:
+        parser.error(
+            "--cascade_bailout requires --cascade (the bailout probe "
+            "configures the cascade's screen pass)"
+        )
     cfg = _config_from_args(args)
 
     from ss25_hierarchical_multiscale_image_classification_tpu.io.download import (

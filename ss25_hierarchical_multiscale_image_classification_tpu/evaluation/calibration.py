@@ -296,6 +296,7 @@ def fit_cascade_margin(
     safety_frac: float = 0.1,
     slides=None,
     cells=None,
+    min_screen_rate: float = 0.25,
 ) -> float | None:
     """The cascade's fitted operating point: a base-level screen-margin
     floor, less ``safety_frac`` of the screen's overall margin spread.
@@ -319,7 +320,12 @@ def fit_cascade_margin(
     nothing about where TEST tumors land (e.g. lesions whose texture
     cancels at the base magnification, ``scripts/froc_hard_proof.py``):
     any floor fitted to it screens out test tumors at whatever rate it
-    screens tissue. Also ``None`` when val has no tumor cells.
+    screens tissue. Also ``None`` when val has no tumor cells, and when
+    the fitted floor screens out less than ``min_screen_rate`` of the
+    val NORMAL cells — a screen that keeps nearly everything can never
+    repay its own pass (break-even survivor fraction ~0.56 for two
+    levels; see ``infer.multiscale.predict_slide_multiscale``), so the
+    artifact should not invite it.
     """
     labels = np.asarray(labels)
     m_aux_base = np.asarray(m_aux_base, np.float64)
@@ -352,4 +358,14 @@ def fit_cascade_margin(
     else:
         tumor_ref = float(np.min(m_aux_base[tum]))
     spread = float(np.std(m_aux_base)) + 1e-6
-    return tumor_ref - safety_frac * spread
+    floor = tumor_ref - safety_frac * spread
+    screen_rate = float((m_aux_base[labels == 0] < floor).mean())
+    if screen_rate < min_screen_rate:
+        log.warning(
+            "cascade operating point would screen only %.0f%% of val "
+            "normal cells (< %.0f%%) — the screen pass cannot repay "
+            "itself; not shipping one",
+            100 * screen_rate, 100 * min_screen_rate,
+        )
+        return None
+    return floor

@@ -356,15 +356,28 @@ def predict_slide_multiscale(
     measured gigapixel negative in docs/PERFORMANCE.md: a floor fitted
     on different-fabricator tissue kept 96% of cells, making the screen
     pass pure overhead, 0.75x). Once a minimum sample has been screened
-    (1024 cells, or a quarter of small grids, never under two full
-    batches), if the running survivor fraction
+    (1024 cells, or a quarter of the slide's estimated tissue, never
+    under two full batches), if the running survivor fraction
     exceeds this value the screen is ABANDONED mid-flight — the rest of
     the screen pass is skipped and every tissue cell gets the full
     fused pass (recall-safe: bailing out never drops a cell the full
-    pass would score). The 0.6 default sits above the measured
+    pass would score). If the screen finishes before the probe's sample
+    floor is met (small/sparse slides), the same test applies to the
+    final tally. The 0.6 default sits above the measured
     break-even survivor fraction (screen cost / fused cost ~ 0.44 for
     two levels => break-even ~ 0.56). ``cascade_bailout >= 1`` disables
     the probe (round-2 behavior).
+
+    .. note:: changed in round 3/4 — ``cascade_bailout`` defaults to 0.6
+       (previously there was no probe): on uninformative tissue existing
+       cascade callers now get full fused values where screened cells
+       previously carried screen margins in the aux_base/selected
+       columns. Strictly recall-safe, but consumers snapshotting cascade
+       surfaces will see a diff; pass ``cascade_bailout=1.0`` for the
+       old behavior. Round 4 adds the end-of-screen tally check and
+       bases the probe's sample floor on estimated tissue (grid-cell
+       counts overshoot on sparse slides, where the probe could never
+       arm).
 
     Screened-out tissue cells carry their screen margin in the
     ``aux_base`` column (the screen IS that head) and the selected output
@@ -504,27 +517,51 @@ def predict_slide_multiscale(
         # base-level px → level px (power-of-two pyramid ratios)
         ratio = {lvl: ds[base] / ds[lvl] for lvl in levels}
 
-        def read_bands(iy: int, which=levels) -> dict[int, np.ndarray]:
-            """Full-width co-located band per level for one grid row."""
+        def read_bands(
+            iy: int, which=levels, cells: tuple[int, int] | None = None,
+        ) -> tuple[dict[int, np.ndarray], dict[int, int]]:
+            """Co-located band per level for one grid row.
+
+            ``cells=(lo, hi)`` restricts the decode to the x-span covering
+            grid cells lo..hi inclusive (the cascade's second pass decodes
+            only the survivors' columns); None reads full width. Returns
+            (bands, x-offsets): each band's first column sits at level
+            pixel ``xoff[lvl]`` — consumers index cells relative to it.
+            """
             y0_l0 = int(iy * grid.stride * ds[base])
-            out = {}
+            out: dict[int, np.ndarray] = {}
+            xoffs: dict[int, int] = {}
             for lvl in which:
                 w_l, h_l = dims[lvl]
+                if cells is None:
+                    x_l, wspan = 0, w_l
+                else:
+                    lo, hi = cells
+                    # cell x-starts use the SAME rounding as the consumer's
+                    # per-cell index, so relative slicing is pixel-exact
+                    x_l = int(round(lo * grid.stride * ratio[lvl]))
+                    wspan = (
+                        int(round(hi * grid.stride * ratio[lvl]))
+                        + ps[lvl] - x_l
+                    )
+                xoffs[lvl] = x_l
                 y_l = int(round(y0_l0 / ds[lvl]))
                 h = min(ps[lvl], h_l - y_l)
                 if h <= 0:
                     # rounding can put a coarse-level band start at/past the
                     # level height; a zero-height region read is backend-
                     # dependent, so return the all-white band directly
-                    out[lvl] = np.full((ps[lvl], w_l, 3), 255, np.uint8)
+                    out[lvl] = np.full((ps[lvl], wspan, 3), 255, np.uint8)
                     continue
-                band = slide.read_region((0, y0_l0), lvl, (w_l, h))
+                band = slide.read_region(
+                    (int(x_l * ds[lvl]), y0_l0), lvl, (wspan, h)
+                )
                 if h < ps[lvl]:
-                    full = np.full((ps[lvl], w_l, 3), 255, np.uint8)
+                    full = np.full((ps[lvl], wspan, 3), 255, np.uint8)
                     full[:h] = band
                     band = full
                 out[lvl] = band
-            return out
+            return out, xoffs
 
         from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
             BandProducer,
@@ -584,19 +621,26 @@ def predict_slide_multiscale(
                 # screened, a survivor fraction above ``cascade_bailout``
                 # means the screen is uninformative on THIS slide's
                 # tissue — abandon it and run the full fused pass.
-                # sample floor: 1024 cells on real slides, a quarter of
-                # the grid on small ones (else the probe could never
-                # reach its floor), never less than two full batches
-                probe_min = max(
-                    2 * batch_size, min(1024, (n + 3) // 4)
-                )
+                # Sample floor: 1024 cells, or a quarter of the slide's
+                # ESTIMATED TISSUE (grid-cell counts overshoot on sparse
+                # slides, where the probe could otherwise never arm),
+                # never less than two full batches.
+                def probe_min(rows_done: int, screened_so_far: int) -> int:
+                    est_tissue = (
+                        screened_so_far * ny // max(rows_done, 1)
+                        if rows_done else n
+                    )
+                    return max(
+                        2 * batch_size, min(1024, (est_tissue + 3) // 4)
+                    )
+
                 screened = survivors = 0
                 bailed = False
                 screen_margins = np.full(
                     (ny, nx), NON_TISSUE_MARGIN, np.float32
                 )
                 sproducer = BandProducer(
-                    ny, lambda iy: read_bands(iy, (base,))
+                    ny, lambda iy: read_bands(iy, (base,))[0]
                 )
                 try:
                   with Timer(f"cascade screen[{n} cells]", log):
@@ -624,6 +668,7 @@ def predict_slide_multiscale(
                         sflush()
                         spending = (dev, list(positions))
 
+                    rows_done = 0
                     while True:
                         item = sproducer.get()
                         if item is None:
@@ -650,9 +695,10 @@ def predict_slide_multiscale(
                                     255, np.uint8,
                                 )
                                 spos = []
+                        rows_done += 1
                         if (
                             cascade_bailout < 1.0
-                            and screened >= probe_min
+                            and screened >= probe_min(rows_done, screened)
                             and survivors > cascade_bailout * screened
                         ):
                             bailed = True
@@ -661,6 +707,26 @@ def predict_slide_multiscale(
                         if spos:
                             sdispatch(sbatch, spos)
                         sflush()
+                        # The probe can only arm mid-flight once its sample
+                        # floor is met; on small/sparse slides the screen
+                        # can finish first. Apply the same test to the
+                        # FINAL tally: an uninformative screen must not
+                        # ship a mostly-screen-margin surface just because
+                        # the slide was small (recall-safe — bailing runs
+                        # the full fused pass on every tissue cell).
+                        if (
+                            cascade_bailout < 1.0
+                            and screened > 0
+                            and survivors > cascade_bailout * screened
+                        ):
+                            bailed = True
+                            log.info(
+                                "cascade: probe never armed mid-flight "
+                                "(%d cells screened < sample floor); "
+                                "final survivor fraction %.2f exceeds "
+                                "the bailout threshold",
+                                screened, survivors / screened,
+                            )
                 finally:
                     sproducer.stop()
                 if bailed:
@@ -697,10 +763,23 @@ def predict_slide_multiscale(
 
         if cell_filter is None:
             rows = list(range(ny))
+
+            def read_row(k: int):
+                return read_bands(rows[k])
         else:
-            # rows with no surviving cell are never decoded in pass 2
+            # rows with no surviving cell are never decoded in pass 2, and
+            # surviving rows decode only the x-span covering their
+            # survivors (sparse survivors on a gigapixel slide would
+            # otherwise re-decode the full fine-level width per row)
             rows = [iy for iy in range(ny) if bool(cell_filter[iy].any())]
-        producer = BandProducer(len(rows), lambda k: read_bands(rows[k]))
+
+            def read_row(k: int):
+                xs = np.flatnonzero(cell_filter[rows[k]])
+                return read_bands(
+                    rows[k], cells=(int(xs[0]), int(xs[-1]))
+                )
+
+        producer = BandProducer(len(rows), read_row)
         try:
           with Timer(f"predict_slide_multiscale[{n} cells]", log):
             batch = fresh_batch()
@@ -763,14 +842,17 @@ def predict_slide_multiscale(
                 item = producer.get()
                 if item is None:
                     break
-                k, bands = item
+                k, (bands, xoffs) = item
                 iy = rows[k]
                 for ix in range(nx):
                     if cell_filter is not None and not cell_filter[iy, ix]:
                         continue
                     cut = {}
                     for lvl in levels:
-                        x_l = int(round(ix * grid.stride * ratio[lvl]))
+                        x_l = (
+                            int(round(ix * grid.stride * ratio[lvl]))
+                            - xoffs[lvl]
+                        )
                         patch = bands[lvl][:, x_l : x_l + ps[lvl]]
                         if patch.shape[1] < ps[lvl]:
                             full = np.full(

@@ -322,6 +322,12 @@ def train_multiscale_classifier(
         )
         if margin is not None:
             calibration["cascade_margin"] = margin
+            # observability: the val screening rate the floor achieved
+            # (fit_cascade_margin refuses to ship floors below its
+            # min_screen_rate, so this is always meaningfully > 0)
+            calibration["cascade_val_screen_rate"] = float(
+                (m_aux_base[labels_np == 0] < margin).mean()
+            )
         log.info("calibration: %s (proxies %s)", calibration, proxies)
 
     from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.calibration import (

@@ -281,9 +281,13 @@ def test_fit_cascade_margin_lesion_level_ignores_one_weak_cell():
 
     cell_floor = fit_cascade_margin(m, labels)
     lesion_floor = fit_cascade_margin(m, labels, slides=slides, cells=cells)
-    assert cell_floor is not None and lesion_floor is not None
-    # cell-level floor is dragged below the -3.5 outlier cell
-    assert cell_floor < -3.5
+    # the cell-level floor is dragged below the -3.5 outlier cell — a
+    # keep-everything floor that screens ~0% of val normals, which the
+    # min-screen-rate gate refuses to ship (the screen can't repay its
+    # own pass); without the gate it would have been < -3.5
+    assert cell_floor is None
+    assert fit_cascade_margin(m, labels, min_screen_rate=0.0) < -3.5
+    assert lesion_floor is not None
     # lesion-level floor sits just under the weakest lesion's BEST cell
     # (min over lesions of max cell margin = min(3.0, 3.2) = 3.0)
     assert 2.0 < lesion_floor < 3.0

@@ -292,3 +292,16 @@ def test_cli_patch_train_streams(pipeline_case, tmp_path, monkeypatch):
     assert os.path.exists(
         os.path.join(models_dir, "resnet18_patch_classifier")
     )
+
+
+def test_cascade_bailout_without_cascade_is_an_error(capsys):
+    """--cascade_bailout alone was silently ignored (the probe only
+    configures --cascade's screen pass); now it's a parser error."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.cli.main import (
+        main,
+    )
+
+    with pytest.raises(SystemExit) as exc:
+        main(["--predict_slide", "x.tif", "--cascade_bailout", "0.5"])
+    assert exc.value.code == 2
+    assert "--cascade_bailout requires --cascade" in capsys.readouterr().err

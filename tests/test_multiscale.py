@@ -991,3 +991,45 @@ def test_predict_multiscale_cascade_bailout(synthetic_case):
             scomps["fusion"][screened],
             np.full(int(screened.sum()), NTM),
         )
+
+
+def test_predict_multiscale_cascade_end_of_screen_bailout(synthetic_case):
+    """When the screen finishes before the probe's sample floor is met
+    (batch_size bigger than the slide's tissue), the same survivor-rate
+    test applies to the final tally: a keep-everything floor bails and
+    every component carries the full fused surface."""
+    import os
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.multiscale import (
+        predict_slide_multiscale,
+    )
+
+    model = HierarchicalPatchClassifier(levels=(2, 3), dtype=jnp.float32)
+    s = 64
+    init = {lvl: jnp.zeros((1, s, s, 3), jnp.float32) for lvl in (2, 3)}
+    variables = dict(
+        model.init(jax.random.key(0), init, train=False, with_aux=True)
+    )
+    variables["calibration"] = {
+        "temperature": 2.0, "aux_temperature": 1.5, "ensemble_weight": 0.25
+    }
+    slide_path = os.path.join(
+        synthetic_case, "train", "img", "tumor_001.wsi.npz"
+    )
+    # batch_size chosen so 2 * batch_size > tissue cells: the mid-flight
+    # probe can never arm, so only the end-of-screen check can bail
+    kw = dict(levels=(2, 3), stride=112, batch_size=64, model=model,
+              input_size=s, output="margin", return_components=True)
+    full, grid, fcomps = predict_slide_multiscale(slide_path, variables, **kw)
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
+        NON_TISSUE_MARGIN,
+    )
+
+    assert (fcomps["fusion"] > NON_TISSUE_MARGIN).sum() < 128, (
+        "fixture grew: tissue must stay under 2*batch_size for this test"
+    )
+    casc, _, ccomps = predict_slide_multiscale(
+        slide_path, variables, cascade=1e-9, cascade_bailout=0.6, **kw
+    )
+    for k in fcomps:
+        np.testing.assert_array_equal(fcomps[k], ccomps[k])
