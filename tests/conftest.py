@@ -54,3 +54,58 @@ def synthetic_case(tmp_path_factory):
         ),
     )
     return root
+
+
+# ---------------------------------------------------------------------------
+# Slow-test lane: tests measured >=10s (full-suite --durations baseline,
+# round 4) carry @pytest.mark.slow so `-m "not slow"` gives a <5 min
+# iteration lane; the full 25 min suite remains the round-proof gate.
+# Centralized here (rather than 37 decorators across 14 files) so the list
+# stays auditable against the durations report in one place.
+# ---------------------------------------------------------------------------
+
+_SLOW_TESTS = {
+    "test_classifier_learns_synthetic_tumors",          # 583s
+    "test_qat_finetune_end_to_end",                     # 225s
+    "test_texture_signal_survives_crop_but_not_resize_pipelines",  # 130s
+    "test_simclr_pallas_loss_impl",                     # 79s
+    "test_qat_gradients_flow_through_every_conv",       # 79s
+    "test_streaming_train_matches_store_and_holds_out_val",  # 74s
+    "test_two_process_dp_train_step_stays_in_sync",     # 71s
+    "test_frozen_bn_trains_affine_but_not_stats",       # 61s
+    "test_qat_forward_tracks_int8_deployment",          # 55s
+    "test_simclr_pretrain_one_epoch",                   # 44s
+    "test_full_train_state_resume",                     # 42s
+    "test_cli_full_pipeline",                           # 40s
+    "test_cross_slide_scale_stability",                 # 39s
+    "test_trainer_end_to_end_smoke",                    # 38s
+    "test_multiscale_trainer_auto_warm_start",          # 35s
+    "test_trainer_runs_on_8_device_mesh",               # 30s
+    "test_multiscale_trainer_records_input_mode",       # 29s
+    "test_multiscale_trainer_end_to_end",               # 29s
+    "test_predict_slide_with_artifact_is_batchsize_invariant",  # 26s
+    "test_quant_features_and_agreement",                # 25s
+    "test_roundtrip_without_fc_or_biasmap",             # 22s
+    "test_int8_feature_extraction_wiring",              # 21s
+    "test_quant_tree_is_jit_stable",                    # 20s
+    "test_unet_classifier",                             # 19s
+    "test_stem_s2d_exact_equivalence",                  # 19s
+    "test_int8_predict_slide",                          # 18s
+    "test_cli_patch_train_streams",                     # 18s
+    "test_quant_logits_track_float",                    # 18s
+    "test_hierarchical_classifier_trains_step",         # 17s
+    "test_predict_multiscale_cascade_meshed",           # 17s
+    "test_nt_xent_valid_mask_grad_zero_on_padding",     # 17s
+    "test_predict_multiscale_cascade_int8_artifact",    # 16s
+    "test_nt_xent_pallas_padded_grad_parity",           # 14s
+    "test_cnn_encoder_projection",                      # 12s
+    "test_fused_stage1_matches_quant_forward",          # 11s
+    "test_predict_slide_multiscale_int8",               # 11s
+    "test_predict_multiscale_cascade_end_of_screen_bailout",  # 77s (r4)
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name.split("[")[0] in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

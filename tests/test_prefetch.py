@@ -30,14 +30,21 @@ def test_prefetcher_overlaps_production():
         def __iter__(self):
             return slow_gen()
 
-    t0 = time.perf_counter()
-    out = []
-    for x in Prefetcher(G(), depth=2):
-        time.sleep(0.05)  # consumer work overlaps producer work
-        out.append(x)
-    elapsed = time.perf_counter() - t0
-    assert out == [0, 1, 2, 3]
-    assert elapsed < 0.37  # serial would be ~0.4s+
+    # timing-based: retry under transient host load before failing
+    for attempt in range(3):
+        t0 = time.perf_counter()
+        out = []
+        for x in Prefetcher(G(), depth=2):
+            time.sleep(0.05)  # consumer work overlaps producer work
+            out.append(x)
+        elapsed = time.perf_counter() - t0
+        assert out == [0, 1, 2, 3]
+        if elapsed < 0.37:  # serial would be ~0.4s+
+            break
+    else:
+        raise AssertionError(
+            f"no overlap observed in 3 attempts (last {elapsed:.3f}s)"
+        )
 
 def test_prefetcher_propagates_errors():
     def bad():
