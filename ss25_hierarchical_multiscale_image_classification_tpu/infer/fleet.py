@@ -36,7 +36,18 @@ def device_groups(group_size: int | None = None, devices=None) -> list[list]:
     """Partition devices into contiguous groups (contiguous = ICI-adjacent
     on a v5e slice's 1-D order). ``group_size=None`` → one group with all
     devices (pure within-slide sharding); ``group_size=1`` → one slide per
-    chip."""
+    chip.
+
+    The two-level layout is mesh-native: this is the row decomposition of
+    a ``(group, data)`` mesh (``parallel.mesh.make_mesh`` with
+    ``shape=(-1, group_size)``) — the data axis varies fastest, so
+    within-group collectives ride ICI."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.parallel.mesh import (
+        DATA_AXIS,
+        group_submeshes,
+        make_mesh,
+    )
+
     devices = list(devices if devices is not None else jax.devices())
     if group_size is None:
         return [devices]
@@ -44,10 +55,11 @@ def device_groups(group_size: int | None = None, devices=None) -> list[list]:
         raise ValueError(
             f"group_size {group_size} must divide the {len(devices)} devices"
         )
-    return [
-        devices[i : i + group_size]
-        for i in range(0, len(devices), group_size)
-    ]
+    mesh = make_mesh(
+        devices=devices, axis_names=("group", DATA_AXIS),
+        shape=(-1, group_size),
+    )
+    return [list(m.devices) for m in group_submeshes(mesh)]
 
 
 def predict_slide_fleet(

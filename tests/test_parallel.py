@@ -57,3 +57,76 @@ def test_feed_global_batch_single_host():
     assert fed["imgs"].shape == (8, 2)
     np.testing.assert_array_equal(np.asarray(fed["labels"]), batch["labels"])
     assert len(fed["imgs"].addressable_shards) == 8
+
+
+def test_make_mesh_multi_axis_shapes():
+    """N-D meshes with explicit shapes and -1 inference (the fleet's
+    (group, data) layout); invalid shapes raise."""
+    import numpy as np
+    import pytest
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.parallel.mesh import (
+        group_submeshes,
+        make_mesh,
+    )
+
+    mesh = make_mesh(axis_names=("group", "data"), shape=(2, 4))
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("group", "data")
+
+    inferred = make_mesh(axis_names=("group", "data"), shape=(-1, 4))
+    assert inferred.devices.shape == (2, 4)
+    np.testing.assert_array_equal(
+        np.vectorize(id)(inferred.devices), np.vectorize(id)(mesh.devices)
+    )
+
+    subs = group_submeshes(mesh)
+    assert len(subs) == 2
+    assert all(m.devices.shape == (4,) for m in subs)
+    assert all(m.axis_names == ("data",) for m in subs)
+    # disjoint cover of the full device set
+    flat = [d for m in subs for d in m.devices]
+    assert len(set(flat)) == 8
+
+    with pytest.raises(ValueError):
+        make_mesh(axis_names=("a", "b"))  # multi-axis needs a shape
+    with pytest.raises(ValueError):
+        make_mesh(axis_names=("a", "b"), shape=(3, 4))  # 12 != 8
+    with pytest.raises(ValueError):
+        make_mesh(axis_names=("a", "b"), shape=(-1, -1))
+    with pytest.raises(ValueError):
+        make_mesh(axis_names=("a", "b"), shape=(-1, 3))  # 8 % 3
+    with pytest.raises(ValueError):
+        group_submeshes(make_mesh())  # 1-D mesh has no groups
+
+
+def test_multi_axis_mesh_collectives_per_axis():
+    """psum over each axis of a (2, 4) mesh reduces only that axis —
+    the sharding semantics the two-level fleet layout relies on."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.parallel.mesh import (
+        make_mesh,
+    )
+
+    mesh = make_mesh(axis_names=("group", "data"), shape=(2, 4))
+    x = jnp.arange(8.0).reshape(2, 4)
+
+    def body(xs):
+        return (
+            jax.lax.psum(xs, "data"),
+            jax.lax.psum(xs, "group"),
+            jax.lax.psum(xs, ("group", "data")),
+        )
+
+    d, g, all_ = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=P("group", "data"),
+        out_specs=(P("group", None), P(None, "data"), P(None, None)),
+    )(x)
+    np.testing.assert_allclose(np.asarray(d)[:, 0], [6.0, 22.0])
+    np.testing.assert_allclose(np.asarray(g)[0], [4.0, 6.0, 8.0, 10.0])
+    np.testing.assert_allclose(float(np.asarray(all_)[0, 0]), 28.0)
