@@ -26,7 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench_one(impl: str, n: int, d: int = 128, iters: int = 10,
-              warmup: int = 2) -> dict | None:
+              warmup: int = 2, blocks: tuple[int, int] | None = None) -> dict | None:
+    import functools
+
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -38,7 +40,14 @@ def bench_one(impl: str, n: int, d: int = 128, iters: int = 10,
         nt_xent_loss_pallas,
     )
 
-    fn = nt_xent_loss if impl == "xla" else nt_xent_loss_pallas
+    if impl == "xla":
+        fn = nt_xent_loss
+    elif blocks is not None:
+        fn = functools.partial(
+            nt_xent_loss_pallas, block_r=blocks[0], block_c=blocks[1]
+        )
+    else:
+        fn = nt_xent_loss_pallas
     rng = np.random.default_rng(0)
     z_i = jax.device_put(rng.normal(size=(n, d)).astype(np.float32))
     z_j = jax.device_put(rng.normal(size=(n, d)).astype(np.float32))
@@ -63,32 +72,78 @@ def bench_one(impl: str, n: int, d: int = 128, iters: int = 10,
         (loss, ga, gb), _ = lax.scan(body, init, None, length=iters)
         return loss, ga, gb
 
+    # Self-check against the round-3 artifact (a physically impossible
+    # 0.01 ms reading shipped in the proof JSON): a real measurement must
+    # scale ~linearly in the scan length. Time `iters` and `2*iters`
+    # dispatches; if the doubled scan doesn't take ~2x, the reading is
+    # dominated by something other than the kernel (hoisting, caching, a
+    # tunnel artifact) and ships flagged rather than silently.
+    @jax.jit
+    def steps2(a, b):
+        def body(carry, _):
+            loss_prev, ga_acc, gb_acc = carry
+            a_ = a + 1e-30 * loss_prev
+            loss, (ga, gb) = jax.value_and_grad(
+                lambda x, y: fn(x, y, 0.5), argnums=(0, 1)
+            )(a_, b)
+            return (loss, ga_acc + ga, gb_acc + gb), None
+        init = (jnp.float32(0), jnp.zeros_like(a), jnp.zeros_like(b))
+        (loss, ga, gb), _ = lax.scan(body, init, None, length=2 * iters)
+        return loss, ga, gb
+
     try:
         for _ in range(warmup):
-            out = steps(z_i, z_j)
-            jax.block_until_ready(out)
+            jax.block_until_ready(steps(z_i, z_j))
+            jax.block_until_ready(steps2(z_i, z_j))
         t0 = time.perf_counter()
         out = steps(z_i, z_j)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        jax.block_until_ready(steps2(z_i, z_j))
+        dt2 = (time.perf_counter() - t0) / (2 * iters)
     except Exception as e:  # OOM at large 2N for the dense path
         return {"error": f"{type(e).__name__}: {str(e)[:200]}"}
-    return {"ms": round(dt * 1000, 2), "loss": round(float(out[0]), 4)}
+    row = {"ms": round(dt * 1000, 2), "loss": round(float(out[0]), 4),
+           "ms_2x_scan": round(dt2 * 1000, 2)}
+    # per-iteration times of the two scan lengths should agree; a
+    # mismatch > 30% means the short scan's reading is not kernel time
+    if not (0.7 < dt / max(dt2, 1e-12) < 1.3):
+        row["implausible"] = (
+            f"per-iter time not scan-length invariant ({dt * 1e3:.3f} vs "
+            f"{dt2 * 1e3:.3f} ms/iter) — reading is not kernel time"
+        )
+    return row
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="4096,8192,16384")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--sweep_blocks", default=None,
+                    help="comma-separated BRxBC pairs to sweep for the "
+                         "pallas impl, e.g. 128x256,256x512,256x1024")
     ap.add_argument("--out", default=None,
                     help="report path (default docs/proofs/ntxent_bench.json)")
     a = ap.parse_args()
     report = {"metric": "nt_xent_value_and_grad_ms", "d": 128, "rows": {}}
+    sweep = None
+    if a.sweep_blocks:
+        sweep = [
+            tuple(int(v) for v in pair.split("x"))
+            for pair in a.sweep_blocks.split(",")
+        ]
     for n in (int(s) for s in a.sizes.split(",")):
         row = {}
         for impl in ("xla", "pallas"):
             row[impl] = bench_one(impl, n, iters=a.iters)
             print(f"2N={2*n} {impl}: {row[impl]}", flush=True)
+        if sweep:
+            for br, bc in sweep:
+                key = f"pallas_{br}x{bc}"
+                row[key] = bench_one("pallas", n, iters=a.iters,
+                                     blocks=(br, bc))
+                print(f"2N={2*n} {key}: {row[key]}", flush=True)
         report["rows"][2 * n] = row
     print(json.dumps(report))
     out = a.out or os.path.join(

@@ -43,6 +43,9 @@ STAGES = ("download", "prep", "pretrained", "patch", "train", "features",
 def build_plan(a) -> list[tuple[str, list[str]]]:
     """The ordered (stage, CLI argv) plan. Pure — testable without data."""
     base = ["--data_dir", a.data_dir, "--models_dir", a.models_dir]
+    epochs = (
+        ["--epochs", str(a.epochs)] if getattr(a, "epochs", None) else []
+    )
     plan = [
         ("download",
          ["--download"] + (["--remote"] if a.remote else []) + base),
@@ -53,7 +56,7 @@ def build_plan(a) -> list[tuple[str, list[str]]]:
         # executes the verification it names.
         ("pretrained", None),
         ("patch", ["--patch", "--patch_level", "all"] + base),
-        ("train", ["--train", "--patch_level", "3"] + base),
+        ("train", ["--train", "--patch_level", "3"] + epochs + base),
         ("features", ["--extract_features", "--patch_level", "3"] + base),
         ("validate", ["--validate", "--patch_level", "3"] + base),
         ("quantize", ["--quantize", "--patch_level", "3"] + base),
@@ -62,8 +65,11 @@ def build_plan(a) -> list[tuple[str, list[str]]]:
           "--run_evaluation", "--patch_level", "3", "--stride", "56"]
          + base),
     ]
+    start = STAGES.index(getattr(a, "start", STAGES[0]) or STAGES[0])
     until = STAGES.index(a.until)
-    return [(s, argv) for s, argv in plan if STAGES.index(s) <= until]
+    return [
+        (s, argv) for s, argv in plan if start <= STAGES.index(s) <= until
+    ]
 
 
 def check_pretrained(pth_path: str, dry_run: bool) -> None:
@@ -96,7 +102,7 @@ def check_pretrained(pth_path: str, dry_run: bool) -> None:
         )
 
 
-def main() -> int:
+def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--data_dir", required=True)
     ap.add_argument("--models_dir", default="models_out")
@@ -104,9 +110,14 @@ def main() -> int:
     ap.add_argument("--remote", action="store_true",
                     help="full dataset (not the 1-per-class subset)")
     ap.add_argument("--dry_run", action="store_true")
+    ap.add_argument("--start", default=STAGES[0], choices=STAGES,
+                    help="first stage to run (resume / smoke against an "
+                         "already-populated data root)")
     ap.add_argument("--until", default="froc", choices=STAGES,
                     help="stop after this stage")
-    a = ap.parse_args()
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="override --train epochs (smoke runs)")
+    a = ap.parse_args(argv)
 
     plan = build_plan(a)
     report = {"stages": [], "dry_run": a.dry_run}

@@ -466,13 +466,24 @@ int hipac_write_pyramid(const char* path, const uint8_t** levels,
     TIFFSetField(tif, TIFFTAG_BITSPERSAMPLE, 8);
     TIFFSetField(tif, TIFFTAG_ORIENTATION, ORIENTATION_TOPLEFT);
     TIFFSetField(tif, TIFFTAG_PLANARCONFIG, PLANARCONFIG_CONTIG);
-    TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
-    if (use_deflate == 2) {
+    if (use_deflate == 3) {
+      // the CAMELYON16 production encoding: chroma-subsampled YCbCr JPEG
+      // tiles; RGB input auto-converts via JPEGCOLORMODE_RGB. The read
+      // path (TIFFReadRGBATile) converts back transparently.
+      TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_YCBCR);
+      TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_JPEG);
+      TIFFSetField(tif, TIFFTAG_JPEGQUALITY, 90);
+      TIFFSetField(tif, TIFFTAG_JPEGCOLORMODE, JPEGCOLORMODE_RGB);
+      TIFFSetField(tif, TIFFTAG_YCBCRSUBSAMPLING, 2, 2);
+    } else if (use_deflate == 2) {
+      TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
       TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_JPEG);
       TIFFSetField(tif, TIFFTAG_JPEGQUALITY, 90);
     } else if (use_deflate == 1) {
+      TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
       TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_ADOBE_DEFLATE);
     } else {
+      TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
       TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_NONE);
     }
     TIFFSetField(tif, TIFFTAG_TILEWIDTH, static_cast<uint32_t>(tile_size));
@@ -555,13 +566,23 @@ int hipac_writer_begin_level(void* writer, int64_t w, int64_t h,
   TIFFSetField(tif, TIFFTAG_BITSPERSAMPLE, 8);
   TIFFSetField(tif, TIFFTAG_ORIENTATION, ORIENTATION_TOPLEFT);
   TIFFSetField(tif, TIFFTAG_PLANARCONFIG, PLANARCONFIG_CONTIG);
-  TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
-  if (wr->compression == 2) {
+  if (wr->compression == 3) {
+    // YCbCr JPEG (the CAMELYON16 production encoding) — see
+    // hipac_write_pyramid
+    TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_YCBCR);
+    TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_JPEG);
+    TIFFSetField(tif, TIFFTAG_JPEGQUALITY, 90);
+    TIFFSetField(tif, TIFFTAG_JPEGCOLORMODE, JPEGCOLORMODE_RGB);
+    TIFFSetField(tif, TIFFTAG_YCBCRSUBSAMPLING, 2, 2);
+  } else if (wr->compression == 2) {
+    TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
     TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_JPEG);
     TIFFSetField(tif, TIFFTAG_JPEGQUALITY, 90);
   } else if (wr->compression == 1) {
+    TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
     TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_ADOBE_DEFLATE);
   } else {
+    TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
     TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_NONE);
   }
   TIFFSetField(tif, TIFFTAG_TILEWIDTH, static_cast<uint32_t>(wr->tile_size));

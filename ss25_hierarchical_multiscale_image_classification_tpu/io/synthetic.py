@@ -137,13 +137,17 @@ def write_synthetic_case(
     spec: SyntheticSlideSpec | None = None,
     split: str = "train",
     container: str = "npz",
+    compression: str = "deflate",
 ) -> str:
     """Write a synthetic slide (+ annotation XML if it has tumor polygons)
     into the reference-compatible directory layout:
     ``{data_dir}/{split}/img/{name}.<ext>`` and
     ``{data_dir}/annotations/{name}.xml``.
 
-    Returns the slide path.
+    ``container="tiff"`` writes a real tiled BigTIFF; ``compression=
+    "jpeg_ycbcr"`` there fabricates the CAMELYON16 production encoding
+    (chroma-subsampled YCbCr JPEG tiles) so the real-data decode path is
+    exercised hermetically. Returns the slide path.
     """
     spec = spec or SyntheticSlideSpec()
     level0, polys = make_level0(spec)
@@ -160,7 +164,7 @@ def write_synthetic_case(
         )
 
         slide_path = os.path.join(img_dir, f"{name}.tif")
-        write_pyramidal_tiff(slide_path, levels)
+        write_pyramidal_tiff(slide_path, levels, compression=compression)
     else:
         raise ValueError(f"unknown container {container}")
 

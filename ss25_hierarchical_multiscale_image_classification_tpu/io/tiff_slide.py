@@ -147,12 +147,14 @@ def write_pyramidal_tiff(
 ) -> None:
     """Write a tiled pyramidal BigTIFF (fixtures + artifact interop).
 
-    ``compression``: "none" | "deflate" (lossless) | "jpeg" (the CAMELYON16
+    ``compression``: "none" | "deflate" (lossless) | "jpeg" (RGB JPEG) |
+    "jpeg_ycbcr" (chroma-subsampled YCbCr JPEG — the CAMELYON16
     production encoding)."""
     lib = native_lib.get_lib()
     if lib is None:
         raise RuntimeError("native TIFF writer unavailable")
-    comp = {"none": 0, "deflate": 1, "jpeg": 2}[compression]
+    comp = {"none": 0, "deflate": 1, "jpeg": 2,
+                "jpeg_ycbcr": 3}[compression]
     levels = [np.ascontiguousarray(lv, np.uint8) for lv in levels]
     n = len(levels)
     ptrs = (ctypes.POINTER(ctypes.c_uint8) * n)(
@@ -192,7 +194,8 @@ class StreamingPyramidWriter:
         if lib is None:
             raise RuntimeError("native TIFF writer unavailable")
         self._lib = lib
-        comp = {"none": 0, "deflate": 1, "jpeg": 2}[compression]
+        comp = {"none": 0, "deflate": 1, "jpeg": 2,
+                "jpeg_ycbcr": 3}[compression]
         self.path = path
         self._handle = lib.hipac_writer_open(path.encode(), tile_size, comp)
         if not self._handle:
