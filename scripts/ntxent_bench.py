@@ -52,66 +52,59 @@ def bench_one(impl: str, n: int, d: int = 128, iters: int = 10,
     z_i = jax.device_put(rng.normal(size=(n, d)).astype(np.float32))
     z_j = jax.device_put(rng.normal(size=(n, d)).astype(np.float32))
 
-    # All `iters` iterations run inside ONE dispatch (lax.scan), so the
-    # wall reading is pure device time — a dispatch-loop timer under the
-    # tunnel can read below the device time when compute overlaps the
-    # Python-side dispatch overhead (the bogus 0.03 ms 2N=8192 reading).
-    # Each iteration's input carries a denormal-scaled dependency on the
-    # previous loss so XLA cannot hoist the loop-invariant body out of
-    # the scan; numerically a_ == a (1e-30 flushes against O(1) data).
-    @jax.jit
-    def steps(a, b):
-        def body(carry, _):
-            loss_prev, ga_acc, gb_acc = carry
-            a_ = a + 1e-30 * loss_prev
-            loss, (ga, gb) = jax.value_and_grad(
-                lambda x, y: fn(x, y, 0.5), argnums=(0, 1)
-            )(a_, b)
-            return (loss, ga_acc + ga, gb_acc + gb), None
-        init = (jnp.float32(0), jnp.zeros_like(a), jnp.zeros_like(b))
-        (loss, ga, gb), _ = lax.scan(body, init, None, length=iters)
-        return loss, ga, gb
+    # Timing methodology (round-4, replacing two broken generations):
+    # 1. All iterations run inside ONE dispatch (lax.scan) with each
+    #    iteration chained on the previous loss, and the timed quantity
+    #    ends in a SCALAR HOST FETCH — under the tunneled axon platform
+    #    ``jax.block_until_ready`` returns before execution completes
+    #    (measured: a 10x 51-GFLOP scan "finished" in 60 us), which is
+    #    what produced the physically impossible 0.01 ms round-3 reading.
+    #    Only a fetch forces the device.
+    # 2. The fetch-to-fetch wall still carries ~30-50 ms of fixed tunnel
+    #    overhead, so the per-iteration kernel time is DIFFERENCED from
+    #    scans of length L and 2L: k = (t_2L - t_L) / L, min over
+    #    ``reps`` repetitions of each.
+    def make_steps(length):
+        @jax.jit
+        def steps(a, b):
+            def body(carry, _):
+                loss_prev, ga_acc, gb_acc = carry
+                a_ = a + 1e-30 * loss_prev
+                loss, (ga, gb) = jax.value_and_grad(
+                    lambda x, y: fn(x, y, 0.5), argnums=(0, 1)
+                )(a_, b)
+                return (loss, ga_acc + ga, gb_acc + gb), None
+            init = (jnp.float32(0), jnp.zeros_like(a), jnp.zeros_like(b))
+            (loss, ga, gb), _ = lax.scan(body, init, None, length=length)
+            # single scalar carrying a dependency on every output
+            return loss + 0.0 * (jnp.sum(ga) + jnp.sum(gb))
+        return steps
 
-    # Self-check against the round-3 artifact (a physically impossible
-    # 0.01 ms reading shipped in the proof JSON): a real measurement must
-    # scale ~linearly in the scan length. Time `iters` and `2*iters`
-    # dispatches; if the doubled scan doesn't take ~2x, the reading is
-    # dominated by something other than the kernel (hoisting, caching, a
-    # tunnel artifact) and ships flagged rather than silently.
-    @jax.jit
-    def steps2(a, b):
-        def body(carry, _):
-            loss_prev, ga_acc, gb_acc = carry
-            a_ = a + 1e-30 * loss_prev
-            loss, (ga, gb) = jax.value_and_grad(
-                lambda x, y: fn(x, y, 0.5), argnums=(0, 1)
-            )(a_, b)
-            return (loss, ga_acc + ga, gb_acc + gb), None
-        init = (jnp.float32(0), jnp.zeros_like(a), jnp.zeros_like(b))
-        (loss, ga, gb), _ = lax.scan(body, init, None, length=2 * iters)
-        return loss, ga, gb
-
+    reps = 3
     try:
+        s1, s2 = make_steps(iters), make_steps(2 * iters)
         for _ in range(warmup):
-            jax.block_until_ready(steps(z_i, z_j))
-            jax.block_until_ready(steps2(z_i, z_j))
-        t0 = time.perf_counter()
-        out = steps(z_i, z_j)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / iters
-        t0 = time.perf_counter()
-        jax.block_until_ready(steps2(z_i, z_j))
-        dt2 = (time.perf_counter() - t0) / (2 * iters)
+            float(s1(z_i, z_j))
+            float(s2(z_i, z_j))
+        t1s, t2s = [], []
+        loss = 0.0
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            loss = float(s1(z_i, z_j))
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(s2(z_i, z_j))
+            t2s.append(time.perf_counter() - t0)
     except Exception as e:  # OOM at large 2N for the dense path
         return {"error": f"{type(e).__name__}: {str(e)[:200]}"}
-    row = {"ms": round(dt * 1000, 2), "loss": round(float(out[0]), 4),
-           "ms_2x_scan": round(dt2 * 1000, 2)}
-    # per-iteration times of the two scan lengths should agree; a
-    # mismatch > 30% means the short scan's reading is not kernel time
-    if not (0.7 < dt / max(dt2, 1e-12) < 1.3):
+    dt = (min(t2s) - min(t1s)) / iters
+    row = {"ms": round(dt * 1000, 3), "loss": round(loss, 4),
+           "wall_ms_scan_1x": round(min(t1s) * 1000, 1),
+           "wall_ms_scan_2x": round(min(t2s) * 1000, 1)}
+    if dt <= 0:
         row["implausible"] = (
-            f"per-iter time not scan-length invariant ({dt * 1e3:.3f} vs "
-            f"{dt2 * 1e3:.3f} ms/iter) — reading is not kernel time"
+            "doubled scan not slower than single - tunnel noise exceeds "
+            "kernel time at this size; treat ms as unresolved"
         )
     return row
 

@@ -281,8 +281,8 @@ def nt_xent_loss_pallas(
     z_i,
     z_j,
     temperature: float = 0.5,
-    block_r: int = 128,
-    block_c: int = 256,
+    block_r: int = 256,
+    block_c: int = 1024,
     valid=None,
 ):
     """Drop-in replacement for ``models.simclr.nt_xent_loss`` (single-host
@@ -291,6 +291,13 @@ def nt_xent_loss_pallas(
     Rows are L2-normalized here (differentiably, in XLA — elementwise) and
     padded to a block multiple; padding rows carry ``pos_idx = -1`` and
     contribute nothing.
+
+    Default blocks (256, 1024) are the round-4 v5e sweep winner
+    (``scripts/ntxent_bench.py --sweep_blocks``): vs the round-3
+    (128, 256) defaults the grid shrinks 16x, amortizing per-step
+    overheads — 2N=32768 value+grad went 32.3 → 13.5 ms (XLA dense:
+    32.1 ms). VMEM per step stays ~2 MB, well under the ~16 MB/core
+    budget.
 
     Args:
         valid: optional (n,) bool — rows where ``valid`` is False (e.g. a
