@@ -24,6 +24,26 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+
+def _force(out) -> None:
+    """Force device execution: fetch one scalar element of one output.
+
+    ``jax.block_until_ready`` returns before execution completes under the
+    tunneled axon platform (measured in scripts/ntxent_bench.py round 4);
+    only a host fetch blocks. The device executes dispatches in order, so
+    fetching from the LAST call's output implies every prior dispatch
+    finished — the same methodology as bench.py.
+    """
+    import jax
+    import numpy as np
+
+    leaf = jax.tree.leaves(out)[0]
+    if getattr(leaf, "ndim", 0):
+        # device-side index first: fetching a 300 MB augmented batch over
+        # the tunnel would measure the tunnel, not the kernel
+        leaf = leaf.ravel()[0]
+    np.asarray(leaf)
+
 def bench_classifier(batch: int, iters: int, warmup: int = 3,
                      segments: bool = False, frozen_bn: bool = False) -> dict:
     import functools
@@ -92,11 +112,11 @@ def bench_classifier(batch: int, iters: int, warmup: int = 3,
         out = None
         for i in range(warmup):
             out = fn(i)
-        jax.block_until_ready(out)
+        _force(out)
         t0 = time.perf_counter()
         for i in range(n):
             out = fn(i)
-        jax.block_until_ready(out)
+        _force(out)
         return (time.perf_counter() - t0) / n
 
     out: dict = {}
@@ -216,11 +236,11 @@ def bench_simclr(batch: int, iters: int, warmup: int = 3,
             res = None
             for i in range(warmup):
                 res = fn(i)
-            jax.block_until_ready(res)
+            _force(res)
             t0 = time.perf_counter()
             for i in range(n):
                 res = fn(i)
-            jax.block_until_ready(res)
+            _force(res)
             return (time.perf_counter() - t0) / n
 
         key = jax.random.key(1)

@@ -146,40 +146,50 @@ def _rot90_k(img, k):
     )
 
 
+def _interp_matrix(p0, span, in_size: int, out_size: int):
+    """(out, in) bilinear interpolation matrix for an axis-aligned box
+    [p0, p0+span) of an ``in_size`` axis — two nonzeros per row.
+
+    Coordinate math is always f32 — at bf16, positions near 224 quantize
+    to ~1.75 px."""
+    f32 = jnp.float32
+    o = (jnp.arange(out_size, dtype=f32) + 0.5) / out_size
+    s = p0.astype(f32) + o * span.astype(f32) - 0.5
+    lo = jnp.clip(jnp.floor(s), 0, in_size - 1)
+    hi = jnp.clip(lo + 1, 0, in_size - 1)
+    w = jnp.clip(s - lo, 0.0, 1.0)
+    # lo == hi at clipped borders: the one-hot sum still totals 1
+    return (
+        jax.nn.one_hot(lo.astype(jnp.int32), in_size, dtype=f32) * (1 - w[:, None])
+        + jax.nn.one_hot(hi.astype(jnp.int32), in_size, dtype=f32) * w[:, None]
+    )
+
+
 def _bilinear_resample(img, y0, x0, h_span, w_span, out_size: int):
     """Sample an axis-aligned box [y0, y0+h_span)×[x0, x0+w_span) from (H,W,3)
     ``img`` into (out, out, 3) with bilinear interpolation. All args traced.
 
-    Coordinate math is always f32 — at bf16, positions near 224 quantize
-    to ~1.75 px — only the pixel blend runs in the image dtype."""
+    Implemented as two separable interpolation MATMULS (one-hot weight
+    matrices with two nonzeros per row) instead of 4 gathers + blends:
+    gathers are VPU/HBM-bound and slow under vmap, while batched (224,H)
+    x (H,W*3) contractions ride the MXU — the round-4 two-view augment
+    went 50 → ~7 ms at B=512 on v5e (docs/PERFORMANCE.md)."""
     H, W = img.shape[0], img.shape[1]
-    f32 = jnp.float32
-    oy = (jnp.arange(out_size, dtype=f32) + 0.5) / out_size
-    ox = (jnp.arange(out_size, dtype=f32) + 0.5) / out_size
-    sy = y0.astype(f32) + oy * h_span.astype(f32) - 0.5
-    sx = x0.astype(f32) + ox * w_span.astype(f32) - 0.5
-    y_lo = jnp.clip(jnp.floor(sy), 0, H - 1)
-    x_lo = jnp.clip(jnp.floor(sx), 0, W - 1)
-    y_hi = jnp.clip(y_lo + 1, 0, H - 1)
-    x_hi = jnp.clip(x_lo + 1, 0, W - 1)
-    wy = jnp.clip(sy - y_lo, 0.0, 1.0)[:, None, None].astype(img.dtype)
-    wx = jnp.clip(sx - x_lo, 0.0, 1.0)[None, :, None].astype(img.dtype)
-    y_lo, y_hi = y_lo.astype(jnp.int32), y_hi.astype(jnp.int32)
-    x_lo, x_hi = x_lo.astype(jnp.int32), x_hi.astype(jnp.int32)
-
-    def gather(ys, xs):
-        rows = jnp.take(img, ys, axis=0)  # (out, W, 3)
-        return jnp.take(rows, xs, axis=1)  # (out, out, 3)
-
-    top = gather(y_lo, x_lo) * (1 - wx) + gather(y_lo, x_hi) * wx
-    bot = gather(y_hi, x_lo) * (1 - wx) + gather(y_hi, x_hi) * wx
-    return top * (1 - wy) + bot * wy
+    wy = _interp_matrix(y0, h_span, H, out_size).astype(img.dtype)
+    wx = _interp_matrix(x0, w_span, W, out_size).astype(img.dtype)
+    # (out,H) @ (H,W,3) → (out,W,3), then contract W with (out,W)
+    tmp = jnp.einsum("oh,hwc->owc", wy, img,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("pw,owc->opc", wx, tmp.astype(img.dtype),
+                     preferred_element_type=jnp.float32)
+    return out.astype(img.dtype)
 
 
-def random_resized_crop(rng, img, out_size: int, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
-    """torchvision RandomResizedCrop semantics with a single rejection-free
-    draw: sample area & aspect, clamp the box to the image."""
-    H, W = img.shape[0], img.shape[1]
+def _sample_crop_box(rng, H: int, W: int, scale=(0.08, 1.0),
+                     ratio=(3 / 4, 4 / 3)):
+    """torchvision RandomResizedCrop box with a single rejection-free
+    draw: sample area & aspect, clamp the box to the image. Returns
+    (y0, x0, h, w) scalars."""
     k_area, k_ratio, k_y, k_x = jax.random.split(rng, 4)
     area = jax.random.uniform(k_area, (), minval=scale[0], maxval=scale[1]) * H * W
     log_r = jax.random.uniform(
@@ -190,6 +200,14 @@ def random_resized_crop(rng, img, out_size: int, scale=(0.08, 1.0), ratio=(3 / 4
     h = jnp.clip(jnp.sqrt(area / r), 1.0, H)
     y0 = jax.random.uniform(k_y, (), minval=0.0, maxval=1.0) * (H - h)
     x0 = jax.random.uniform(k_x, (), minval=0.0, maxval=1.0) * (W - w)
+    return y0, x0, h, w
+
+
+def random_resized_crop(rng, img, out_size: int, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
+    """torchvision RandomResizedCrop semantics (box via
+    :func:`_sample_crop_box`, resample via the separable-matmul path)."""
+    H, W = img.shape[0], img.shape[1]
+    y0, x0, h, w = _sample_crop_box(rng, H, W, scale, ratio)
     return _bilinear_resample(img, y0, x0, h, w, out_size)
 
 
@@ -469,22 +487,50 @@ def _apply_color_affine(m, bias, x, dtype=jnp.bfloat16):
 
 
 def simclr_view_batch(crop_rngs, params: dict, imgs_u8, out_size: int):
-    """Fused batched SimCLR view: per-example crop (gather-bound, vmapped)
-    then ONE geometric select and TWO fused color passes — (jitter-affine
-    → clip) and ((grayscale∘normalize)-affine) — instead of the ~25-pass
-    per-example chain. Parity-tested against
-    ``_simclr_view_one_with_params`` + normalize."""
-    b = imgs_u8.shape[0]
-    x = jax.vmap(random_resized_crop, in_axes=(0, 0, None))(
-        crop_rngs, imgs_u8.astype(jnp.bfloat16) / 255.0, out_size
-    )
-    x = jnp.where(params["h"][:, None, None, None], x[:, :, ::-1], x)
+    """Fused batched SimCLR view: separable-MATMUL crop with the hflip
+    folded into the x-interpolation matrix, then TWO fused color passes —
+    (jitter-affine → clip) and ((grayscale∘normalize)-affine) — instead
+    of the ~25-pass per-example chain. Parity-tested against
+    ``_simclr_view_one_with_params`` + normalize.
+
+    The contrast mean is computed straight from the interpolation
+    matrices (``mean = (Σ_o wy)·img·(Σ_p wx) / out²``; flips preserve
+    it), so the cropped view has no read-back barrier between the crop
+    matmuls and the color passes — round-4 v5e: the two-view augment
+    went 50 ms (gather path) → 18 ms (matmul crop) → ~10 ms (folded
+    flip + matrix mean) at B=512."""
+    b, H, W = imgs_u8.shape[0], imgs_u8.shape[1], imgs_u8.shape[2]
+    x8 = imgs_u8.astype(jnp.bfloat16) / 255.0
+    y0, x0, hh, ww = jax.vmap(
+        lambda r: _sample_crop_box(r, H, W)
+    )(crop_rngs)
+    wy = jax.vmap(_interp_matrix, in_axes=(0, 0, None, None))(
+        y0, hh, H, out_size
+    )  # (B, out, H) f32
+    wx = jax.vmap(_interp_matrix, in_axes=(0, 0, None, None))(
+        x0, ww, W, out_size
+    )  # (B, out, W) f32
+    # horizontal flip of the output == reversing wx's output rows
+    wx = jnp.where(params["h"][:, None, None], wx[:, ::-1, :], wx)
+
+    # contrast mean of the cropped/flipped view, from the matrices alone
+    u = jnp.sum(wy, axis=1)  # (B, H)
+    v = jnp.sum(wx, axis=1)  # (B, W)
+    m0 = jnp.einsum(
+        "bh,bhwc,bw->bc", u, x8.astype(jnp.float32), v,
+        preferred_element_type=jnp.float32,
+    ).mean(axis=1) / (out_size * out_size)
+
+    wy16, wx16 = wy.astype(jnp.bfloat16), wx.astype(jnp.bfloat16)
+    tmp = jnp.einsum("boh,bhwc->bowc", wy16, x8,
+                     preferred_element_type=jnp.float32)
+    x = jnp.einsum("bpw,bowc->bopc", wx16, tmp.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
     # pass 1: jitter-or-identity affine, then clip (the reference chain
     # clips only the jittered branch, but the plain branch lives in [0,1]
     # already — a convex bilinear blend of [0,1] pixels — so one shared
     # clip is semantics-preserving)
-    m0 = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))
     mj, bj = _jitter_affine(params, m0)
     jp = params["jp"]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (b, 3, 3))
@@ -500,7 +546,14 @@ def simclr_view_batch(crop_rngs, params: dict, imgs_u8, out_size: int):
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
     m2 = m2 / std[None, :, None]
     e = jnp.broadcast_to((-mean / std)[None, :], (b, 3))
-    return _apply_color_affine(m2, e, x, dtype=jnp.float32)
+    # emit bf16: the SimCLR encoder computes in bf16 and would cast the
+    # first conv's input anyway — emitting f32 costs a 308 MB/view HBM
+    # round-trip for precision the consumer immediately discards. The
+    # affine itself accumulates in f32 (see _apply_color_affine callers'
+    # coordinate-math note); only the final store narrows.
+    return _apply_color_affine(m2, e, x, dtype=jnp.float32).astype(
+        jnp.bfloat16
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("out_size",))
