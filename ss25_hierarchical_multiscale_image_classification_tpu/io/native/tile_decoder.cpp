@@ -212,7 +212,9 @@ TileData rgba_to_rgb_topdown(const uint32_t* rgba, int64_t tw, int64_t th,
   return rgb;
 }
 
-// Decode one region of one level into out (h x w x 3, RGB, row-major).
+// Decode one region of one level into out (h x w x 3 values with a row
+// stride of out_stride PIXELS — out_stride == w for a contiguous region;
+// larger when writing a column chunk of a wider destination).
 // (x, y) are LEVEL-space pixel coordinates of the top-left corner.
 // Out-of-bounds area is filled white (the extraction pipeline's pad value,
 // reference src/main.py:700-703). Decoded tiles/strips land in the
@@ -220,9 +222,12 @@ TileData rgba_to_rgb_topdown(const uint32_t* rgba, int64_t tw, int64_t th,
 // caller still holds its slot mutex, but cached copies don't need the
 // TIFF* at all). ``tif`` may only be used under the caller's slot lock.
 bool read_region_level(Handle* h, TIFF* tif, const LevelInfo& lv, int64_t x,
-                       int64_t y, int64_t w, int64_t hh, uint8_t* out) {
+                       int64_t y, int64_t w, int64_t hh, uint8_t* out,
+                       int64_t out_stride) {
   bool dir_set = false;  // TIFFSetDirectory once, and only if we decode
-  std::memset(out, 255, static_cast<size_t>(w) * hh * 3);
+  for (int64_t yy = 0; yy < hh; ++yy) {
+    std::memset(out + yy * out_stride * 3, 255, static_cast<size_t>(w) * 3);
+  }
 
   const int64_t x0 = std::max<int64_t>(x, 0);
   const int64_t y0 = std::max<int64_t>(y, 0);
@@ -258,7 +263,7 @@ bool read_region_level(Handle* h, TIFF* tif, const LevelInfo& lv, int64_t x,
         const int64_t cx0 = std::max(tx, x0), cx1 = std::min(tx + tw, x1);
         const int64_t cy0 = std::max(ty, y0), cy1 = std::min(ty + th, y1);
         for (int64_t yy = cy0; yy < cy1; ++yy) {
-          std::memcpy(out + ((yy - y) * w + (cx0 - x)) * 3,
+          std::memcpy(out + ((yy - y) * out_stride + (cx0 - x)) * 3,
                       tile->data() + ((yy - ty) * tw + (cx0 - tx)) * 3,
                       static_cast<size_t>(cx1 - cx0) * 3);
         }
@@ -297,7 +302,7 @@ bool read_region_level(Handle* h, TIFF* tif, const LevelInfo& lv, int64_t x,
       }
       const int64_t cy0 = std::max(sy, y0), cy1 = std::min(sy + rows, y1);
       for (int64_t yy = cy0; yy < cy1; ++yy) {
-        std::memcpy(out + ((yy - y) * w + (x0 - x)) * 3,
+        std::memcpy(out + ((yy - y) * out_stride + (x0 - x)) * 3,
                     strip->data() + ((yy - sy) * lv.width + x0) * 3,
                     static_cast<size_t>(x1 - x0) * 3);
       }
@@ -347,6 +352,11 @@ int hipac_level_dims(void* handle, int level, int64_t* w, int64_t* hh) {
 }
 
 // Read one region; (x, y) in LEVEL coordinates. out: h*w*3 bytes.
+// Regions spanning many tile columns (full-width inference bands) are
+// decoded in parallel: the x-range splits into tile-aligned column
+// chunks sharded over the worker slots, each writing its chunk into the
+// shared output with the region's row stride. Small regions stay on the
+// single-thread slot-0 path (thread spawn would dominate).
 int hipac_read_region(void* handle, int level, int64_t x, int64_t y,
                       int64_t w, int64_t hh, uint8_t* out) {
   auto* h = static_cast<Handle*>(handle);
@@ -354,15 +364,48 @@ int hipac_read_region(void* handle, int level, int64_t x, int64_t y,
     set_err("bad level");
     return -1;
   }
-  Slot* s = acquire_slot(h, 0);
-  std::lock_guard<std::mutex> lock(s->mu);
-  TIFF* tif = slot_tiff_locked(h, s);
-  if (!tif) {
-    set_err("cannot open worker TIFF handle");
+  const LevelInfo lv = h->levels[level];
+  const int64_t tw = lv.tiled ? lv.tile_width : 0;
+  int64_t tile_cols = lv.tiled && tw > 0 ? (w + tw - 1) / tw : 0;
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  int workers = std::max(1, std::min({hw, 16,
+                                      static_cast<int>(tile_cols / 4)}));
+  if (workers <= 1) {
+    Slot* s = acquire_slot(h, 0);
+    std::lock_guard<std::mutex> lock(s->mu);
+    TIFF* tif = slot_tiff_locked(h, s);
+    if (!tif) {
+      set_err("cannot open worker TIFF handle");
+      return -1;
+    }
+    return read_region_level(h, tif, lv, x, y, w, hh, out, w) ? 0 : -1;
+  }
+
+  // tile-aligned column chunks: chunk i covers x-range [c0, c1)
+  const int64_t cols_per = ((tile_cols + workers - 1) / workers) * tw;
+  std::atomic<int> failures(0);
+  std::vector<std::thread> threads;
+  threads.reserve(workers);
+  for (int t = 0; t < workers; ++t) {
+    threads.emplace_back([&, t]() {
+      const int64_t c0 = t * cols_per;
+      const int64_t c1 = std::min<int64_t>(w, c0 + cols_per);
+      if (c0 >= c1) return;
+      Slot* s = acquire_slot(h, static_cast<size_t>(t) + 1);
+      std::lock_guard<std::mutex> lock(s->mu);
+      TIFF* tif = slot_tiff_locked(h, s);
+      if (!tif || !read_region_level(h, tif, lv, x + c0, y, c1 - c0, hh,
+                                     out + c0 * 3, w)) {
+        failures.fetch_add(1);
+      }
+    });
+  }
+  for (auto& t : threads) t.join();
+  if (failures.load()) {
+    set_err("parallel region read failed");
     return -1;
   }
-  return read_region_level(h, tif, h->levels[level], x, y, w, hh, out) ? 0
-                                                                       : -1;
+  return 0;
 }
 
 // Configure the decoded-tile LRU cache (bytes; 0 disables). Applies per
@@ -428,7 +471,7 @@ int hipac_read_regions(void* handle, int level, const int64_t* coords,
         continue;
       }
       if (!read_region_level(h, tif, lv, coords[2 * i], coords[2 * i + 1], w,
-                             hh, out + i * region_bytes)) {
+                             hh, out + i * region_bytes, w)) {
         failures.fetch_add(1);
       }
     }
