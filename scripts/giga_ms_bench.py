@@ -72,31 +72,42 @@ def main() -> None:
     )
     report["multiscale_s"] = round(time.time() - t0, 1)
 
+    # the cascade floor: the artifact's fitted operating point when it
+    # ships one, else an explicit probability floor (the wall is the
+    # measurement target either way; report which was used)
+    calib = dict(ms_vars.get("calibration", {}) or {})
+    cascade: object = "auto" if "cascade_margin" in calib else 0.5
+    report["cascade_floor"] = (
+        "auto (artifact operating point)" if cascade == "auto"
+        else f"explicit p>={cascade}"
+    )
+
+    # HEADLINE: the production cascade config (mid-flight bailout probe
+    # active, default threshold) — when the floor is uninformative on
+    # this slide's tissue the screen is abandoned early, bounding the
+    # worst case near the full pass
     t0 = time.time()
     casc, _ = predict_slide_multiscale(
         a.slide, ms_vars, levels=(2, 3), stride=a.stride,
-        batch_size=a.batch_size, cascade="auto",
-        cascade_bailout=1.0,  # unconditional screen: the transfer wall
+        batch_size=a.batch_size, cascade=cascade,
     )
     report["multiscale_cascade_s"] = round(time.time() - t0, 1)
 
-    # same operating point with the mid-flight bailout probe (default):
-    # when the floor is uninformative on this slide's tissue the screen
-    # is abandoned early, bounding the worst case near the full pass
+    # diagnostic: the same floor with the probe disabled (unconditional
+    # screen) — the round-3 transfer wall this bench exists to bound
     t0 = time.time()
-    bail, _ = predict_slide_multiscale(
+    forced, _ = predict_slide_multiscale(
         a.slide, ms_vars, levels=(2, 3), stride=a.stride,
-        batch_size=a.batch_size, cascade="auto",
+        batch_size=a.batch_size, cascade=cascade, cascade_bailout=1.0,
     )
-    report["multiscale_cascade_bailout_s"] = round(time.time() - t0, 1)
-    report["bailout_matches_full"] = bool(
-        np.isclose(bail, full, atol=1e-5).all()
-    )
+    report["multiscale_cascade_forced_screen_s"] = round(time.time() - t0, 1)
+
     # survivors: cells whose cascade output differs from non-tissue AND
     # match the full fused values (the rest carry the screen margin)
     agree = np.isclose(casc, full, atol=1e-5)
-    report["cells_with_fused_values"] = int(
-        (agree & (full > 0)).sum()
+    report["cells_with_fused_values"] = int((agree & (full > 0)).sum())
+    report["cascade_matches_full_everywhere"] = bool(
+        np.isclose(casc, full, atol=1e-5).all()
     )
     report["speedup_vs_full_multiscale"] = round(
         report["multiscale_s"] / max(report["multiscale_cascade_s"], 1e-9), 2

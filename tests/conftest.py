@@ -102,6 +102,8 @@ _SLOW_TESTS = {
     "test_fused_stage1_matches_quant_forward",          # 11s
     "test_predict_slide_multiscale_int8",               # 11s
     "test_predict_multiscale_cascade_end_of_screen_bailout",  # 77s (r4)
+    "test_cascade_tissue_shift_bailout_regression",     # 99s (r4)
+    "test_runbook_smoke_on_realistic_encodings",        # marked inline too
 }
 
 

@@ -1033,3 +1033,87 @@ def test_predict_multiscale_cascade_end_of_screen_bailout(synthetic_case):
     )
     for k in fcomps:
         np.testing.assert_array_equal(fcomps[k], ccomps[k])
+
+
+def test_cascade_tissue_shift_bailout_regression(tmp_path):
+    """Tissue-shift regression gate (the measured round-3 gigapixel
+    negative): a cascade floor fitted on tissue A transfers badly to
+    tissue B with different statistics — most of B survives the screen,
+    making it pure overhead. The bailout probe must catch this and the
+    deployed surfaces must equal the full fused pass (recall holds)."""
+    import os
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.multiscale import (
+        predict_slide_multiscale,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
+        NON_TISSUE_MARGIN,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.synthetic import (
+        tumor_spec,
+        write_synthetic_case,
+    )
+
+    root = str(tmp_path)
+    # fabricator A: the calibration tissue; fabricator B: same geometry,
+    # different texture statistics (higher stain noise)
+    path_a = write_synthetic_case(
+        root, "tumor_a",
+        tumor_spec(width=3584, height=2688, tissue_radii=(0.46, 0.46),
+                   seed=5, noise=6.0),
+    )
+    path_b = write_synthetic_case(
+        root, "tumor_b",
+        tumor_spec(width=3584, height=2688, tissue_radii=(0.46, 0.46),
+                   seed=9, noise=28.0),
+    )
+
+    model = HierarchicalPatchClassifier(levels=(2, 3), dtype=jnp.float32)
+    s = 64
+    init = {lvl: jnp.zeros((1, s, s, 3), jnp.float32) for lvl in (2, 3)}
+    variables = dict(
+        model.init(jax.random.key(3), init, train=False, with_aux=True)
+    )
+    variables["calibration"] = {
+        "temperature": 2.0, "aux_temperature": 1.5, "ensemble_weight": 0.5
+    }
+    kw = dict(levels=(2, 3), stride=112, batch_size=4, model=model,
+              input_size=s, output="margin", return_components=True)
+
+    # "fit" the operating point on A: scan plausible operating quantiles
+    # (screen 45% .. 10% of A's tissue) for one that fails to transfer —
+    # keeps more of B than the bailout threshold. Such a floor is exactly
+    # the scenario the gate exists for; with different tissue statistics
+    # one always exists unless the two margin distributions coincide.
+    _, _, comps_a = predict_slide_multiscale(path_a, variables, **kw)
+    ma = comps_a["aux_base"]
+    ma_tissue = ma[ma > NON_TISSUE_MARGIN]
+
+    full_b, _, comps_b = predict_slide_multiscale(path_b, variables, **kw)
+    mb = comps_b["aux_base"]
+    mb_tissue = mb[mb > NON_TISSUE_MARGIN]
+
+    floor = None
+    # quantile floors, then the production fit's own form (min reference
+    # minus a safety fraction of the spread — fit_cascade_margin)
+    cands = [float(np.quantile(ma_tissue, q)) for q in (0.45, 0.3, 0.15)]
+    cands.append(float(ma_tissue.min()) - 0.1 * float(np.std(ma_tissue)))
+    for cand in cands:
+        if float((mb_tissue >= cand).mean()) > 0.6:
+            floor = cand
+            break
+    assert floor is not None, (
+        "fixture drift: no A-fitted operating quantile fails to transfer "
+        f"to B (A margins {np.sort(ma_tissue)}, B margins "
+        f"{np.sort(mb_tissue)})"
+    )
+    variables["calibration"]["cascade_margin"] = floor
+
+    # deploy on B with the production cascade: the probe must bail and
+    # every component must carry the full fused surface (recall-safe)
+    casc_b, _, casc_comps = predict_slide_multiscale(
+        path_b, variables, cascade="auto", **kw
+    )
+    np.testing.assert_array_equal(casc_b, full_b)
+    for k in comps_b:
+        np.testing.assert_array_equal(comps_b[k], casc_comps[k])
