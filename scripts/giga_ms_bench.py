@@ -56,6 +56,47 @@ def main() -> None:
         "stride": a.stride,
     }
 
+    # Environment attribution: on this tunneled single-chip setup the
+    # dominant wall is HOST→DEVICE BATCH TRANSFER over the tunnel (tens
+    # of MB/s, fluctuating minute to minute), not decode or TPU compute.
+    # Record the decode-only wall and the tunnel bandwidth alongside, so
+    # the report separates design costs from environment artifacts
+    # (round-4 decomposition: decode 4.0 s, host assembly 5.6 s,
+    # dispatch+fetch = the rest — docs/PERFORMANCE.md).
+    from ss25_hierarchical_multiscale_image_classification_tpu.grid.pyramid import (
+        PatchGrid,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.io.slide import (
+        open_slide,
+    )
+
+    slide = open_slide(a.slide)
+    g3 = PatchGrid.for_slide_level(
+        3, slide.level_dimensions[3], slide.level_downsamples[3],
+        stride=a.stride,
+    )
+    w3, h3 = slide.level_dimensions[3]
+    t0 = time.time()
+    for iy in range(g3.ny):
+        y = iy * g3.stride
+        h = min(g3.patch_size, h3 - y)
+        slide.read_region(g3.level0_origin(0, y), 3, (w3, h))
+    report["decode_only_level3_s"] = round(time.time() - t0, 1)
+    report["tile_cache"] = slide.cache_stats()
+    slide.close()
+
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+    probe = np.zeros((a.batch_size, 224, 224, 3), np.uint8)
+    float(f(probe))
+    t0 = time.time()
+    for _ in range(5):
+        float(f(probe))
+    mb = probe.nbytes / 2**20
+    report["tunnel_mb_per_s"] = round(5 * mb / (time.time() - t0), 1)
+
     t0 = time.time()
     probs, grid = predict_slide(
         a.slide, clf_vars, level=3, stride=a.stride,

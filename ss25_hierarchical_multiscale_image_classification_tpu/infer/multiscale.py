@@ -648,25 +648,37 @@ def predict_slide_multiscale(
                         (batch_size, ps[base], ps[base], 3), 255, np.uint8
                     )
                     spos: list[tuple[int, int]] = []
-                    spending: tuple | None = None
+                    # depth-k pipeline with async result copies (see
+                    # sliding_window.predict_slide) — shallower than the
+                    # fused pass so the bailout probe's survivor tally
+                    # stays at most a couple of batches behind
+                    from collections import deque
+
+                    spending: deque = deque()
+
+                    def sdrain_one():
+                        nonlocal screened, survivors
+                        prev, prev_pos = spending.popleft()
+                        vals = np.asarray(prev)[: len(prev_pos)]
+                        ys = [p[0] for p in prev_pos]
+                        xs = [p[1] for p in prev_pos]
+                        screen_margins[ys, xs] = vals
+                        screened += len(prev_pos)
+                        survivors += int((vals >= cascade_floor).sum())
 
                     def sflush():
-                        nonlocal spending, screened, survivors
-                        if spending is not None:
-                            prev, prev_pos = spending
-                            vals = np.asarray(prev)[: len(prev_pos)]
-                            ys = [p[0] for p in prev_pos]
-                            xs = [p[1] for p in prev_pos]
-                            screen_margins[ys, xs] = vals
-                            screened += len(prev_pos)
-                            survivors += int((vals >= cascade_floor).sum())
-                            spending = None
+                        while spending:
+                            sdrain_one()
 
                     def sdispatch(b, positions):
-                        nonlocal spending
                         dev = screen(params, batch_stats, put1(b))
-                        sflush()
-                        spending = (dev, list(positions))
+                        try:
+                            dev.copy_to_host_async()
+                        except Exception:
+                            pass
+                        spending.append((dev, list(positions)))
+                        if len(spending) > 2:
+                            sdrain_one()
 
                     rows_done = 0
                     while True:
@@ -784,10 +796,18 @@ def predict_slide_multiscale(
           with Timer(f"predict_slide_multiscale[{n} cells]", log):
             batch = fresh_batch()
             batch_pos: list[int] = []
-            pending: tuple | None = None
+            # depth-k pipeline with async result copies (see
+            # sliding_window.predict_slide)
+            from collections import deque
+
+            pending: deque = deque()
+            PIPELINE_DEPTH = 4
+
+            def drain_one():
+                prev, prev_pos = pending.popleft()
+                probs[prev_pos] = np.asarray(prev)[: len(prev_pos)]
 
             def dispatch(b, positions):
-                nonlocal pending
                 batch_by_level = {lvl: b[lvl] for lvl in levels}
                 if int8:
                     if "tree" not in qstate:
@@ -833,10 +853,13 @@ def predict_slide_multiscale(
                     dev = qstep(variables, qstate["tree"], _put(batch_by_level))
                 else:
                     dev = step(params, batch_stats, _put(batch_by_level))
-                if pending is not None:
-                    prev, prev_pos = pending
-                    probs[prev_pos] = np.asarray(prev)[: len(prev_pos)]
-                pending = (dev, np.asarray(positions))
+                try:
+                    dev.copy_to_host_async()
+                except Exception:
+                    pass
+                pending.append((dev, np.asarray(positions)))
+                if len(pending) > PIPELINE_DEPTH:
+                    drain_one()
 
             while True:
                 item = producer.get()
@@ -872,9 +895,8 @@ def predict_slide_multiscale(
                         batch_pos = []
             if batch_pos:
                 dispatch(batch, batch_pos)
-            if pending is not None:
-                dev, pos_arr = pending
-                probs[pos_arr] = np.asarray(dev)[: len(pos_arr)]
+            while pending:
+                drain_one()
         finally:
             # stop/join BEFORE the outer finally closes the slide handle
             producer.stop()

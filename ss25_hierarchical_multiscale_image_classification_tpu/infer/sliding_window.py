@@ -365,18 +365,33 @@ def predict_slide(
           with Timer(f"predict_slide[{n} cells]", log):
             batch_imgs = np.full((batch_size, ps, ps, 3), 255, np.uint8)
             batch_pos: list[int] = []
-            pending: tuple | None = None  # (device_probs, positions)
+            # Depth-k pipeline with ASYNC result copies: keep several
+            # batches in flight and start each result's device→host copy
+            # at dispatch time, fetching only once it falls off the
+            # window. A single-batch lag with a synchronous fetch stalls
+            # the host a full link round-trip per batch — on the
+            # tunneled dev setup that fetch of 512 B measured ~1 s/batch
+            # queued behind the next 19 MB upload (docs/PERFORMANCE.md
+            # round-4 gigapixel decomposition); on real hosts it still
+            # hides device latency.
+            from collections import deque
+
+            pending: deque = deque()  # (device_probs, positions)
+            PIPELINE_DEPTH = 4
+
+            def drain_one() -> None:
+                prev_dev, prev_pos = pending.popleft()
+                probs[prev_pos] = np.asarray(prev_dev)[: len(prev_pos)]
 
             def dispatch(imgs: np.ndarray, positions: list[int]) -> None:
-                """One-batch-lag pipeline: fetch batch k-1 only after batch
-                k dispatches, so host decode/transfer overlaps device
-                compute."""
-                nonlocal pending
                 dev = run_batch(imgs)
-                if pending is not None:
-                    prev_dev, prev_pos = pending
-                    probs[prev_pos] = np.asarray(prev_dev)[: len(prev_pos)]
-                pending = (dev, np.asarray(positions))
+                try:
+                    dev.copy_to_host_async()
+                except Exception:
+                    pass  # not all array types expose it (e.g. sharded)
+                pending.append((dev, np.asarray(positions)))
+                if len(pending) > PIPELINE_DEPTH:
+                    drain_one()
 
             while True:
                 item = producer.get()
@@ -407,9 +422,8 @@ def predict_slide(
                         batch_pos = []
             if batch_pos:
                 dispatch(batch_imgs, batch_pos)
-            if pending is not None:
-                dev, pos_arr = pending
-                probs[pos_arr] = np.asarray(dev)[: len(pos_arr)]
+            while pending:
+                drain_one()
         finally:
             # stop/join BEFORE the outer finally closes the slide handle
             producer.stop()
