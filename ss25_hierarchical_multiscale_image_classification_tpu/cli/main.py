@@ -129,6 +129,17 @@ def build_parser() -> argparse.ArgumentParser:
                              "-aux, aux-base and ensemble-base surfaces (one"
                              " inference pass; dirs model_predictions_csv_"
                              "{fusion,aux,aux_base,ensemble_base})")
+    parser.add_argument("--tissue_filter", choices=["host", "device"],
+                        default="host",
+                        help="With --predict_slide (float, single chip): "
+                             "where the white-patch short-circuit runs. "
+                             "'host' filters before upload (default; right "
+                             "when the feed link is the bottleneck); "
+                             "'device' uploads every cell and runs the "
+                             "fused normalize+tissue-statistic Pallas "
+                             "kernel, freeing the host's per-patch mean "
+                             "pass (right on full-rate PCIe hosts with "
+                             "few cores)")
     parser.add_argument("--detect_threshold", type=float, default=None,
                         help="With --predict_slide: emission floor for "
                              "detections, in probability space (default "
@@ -792,6 +803,16 @@ def main(argv=None) -> int:
                 predict_kw["batch_size"] = args.batch_size
             if args.stride:
                 predict_kw["stride"] = args.stride
+            pred_mesh = _full_mesh()
+            if args.tissue_filter == "device":
+                if args.int8 or pred_mesh is not None:
+                    log.warning(
+                        "--tissue_filter device is the float single-chip "
+                        "path (int8 folds normalize into the stem; meshes "
+                        "replicate the pallas_call) — using host filtering"
+                    )
+                else:
+                    predict_kw["tissue_filter"] = "device"
             if args.int8:
                 from ss25_hierarchical_multiscale_image_classification_tpu.models.quant_artifact import (
                     CLASSIFIER_ARTIFACT,
@@ -803,7 +824,7 @@ def main(argv=None) -> int:
                 )
             prob_grid, _csv = predict_and_export(
                 args.predict_slide, variables, csv_dir, level=level,
-                int8=args.int8, mesh=_full_mesh(),
+                int8=args.int8, mesh=pred_mesh,
                 threshold=detect_threshold, **predict_kw,
             )
             if args.overlay:

@@ -183,8 +183,15 @@ class MILConfig:
     head_hidden_dim: int = 128
     num_classes: int = 2
     pooling: str = "attention"  # attention | mean | max (mil_classifier.py:24-31)
+    #: head dropout (mil_classifier.py:40); also the MC-dropout noise rate
+    dropout_rate: float = 0.25
     #: static bag-size bucket for XLA (bags padded with mask to this size)
     max_bag_size: int = 4096
+    #: bags with >= this many instances pool through the streaming Pallas
+    #: kernel at inference (ops/pallas/mil_pool.py): no (K, H) tanh / (K,)
+    #: attention intermediates in HBM. Smaller bags stay on the XLA module
+    #: (kernel grid/dispatch overhead dominates below this size).
+    streaming_bag_threshold: int = 4096
     #: reference Config.LEARNING_RATE (config.py:29); measured: 1e-4 is
     #: visibly undertrained on few-bag datasets (steps/epoch = bags/8)
     learning_rate: float = 1e-3

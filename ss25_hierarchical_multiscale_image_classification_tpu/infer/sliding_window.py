@@ -154,7 +154,8 @@ def margin_to_score(m) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=8)
-def make_prob_step(model, input_size: int = 224):
+def make_prob_step(model, input_size: int = 224,
+                   device_tissue_threshold: float | None = None):
     """Jitted margin step, CACHED per (model, input_size): a fleet run calls
     ``predict_slide`` once per slide, and a fresh ``@jax.jit`` closure per
     slide would recompile (or at best re-hit the persistent cache) every
@@ -164,6 +165,14 @@ def make_prob_step(model, input_size: int = 224):
     than the softmax probability: the margin carries full ranking
     resolution where float32 softmax saturates to exact 0/1 ties
     (probability = ``sigmoid(margin)`` when one is needed).
+
+    With ``device_tissue_threshold`` set, the step runs the fused Pallas
+    preprocessing kernel (``ops/pallas/preprocess.py``): ImageNet normalize
+    AND the per-patch mean-RGB tissue statistic come out of ONE HBM pass
+    over the uint8 batch, and white patches (mean > threshold,
+    ``src/main.py:718-719``) short-circuit to :data:`NON_TISSUE_MARGIN` on
+    device — the host never touches patch pixels (see ``predict_slide``'s
+    ``tissue_filter="device"`` mode).
     """
     from ss25_hierarchical_multiscale_image_classification_tpu.data.augment import (
         preprocess_batch,
@@ -172,9 +181,19 @@ def make_prob_step(model, input_size: int = 224):
 
     @jax.jit
     def prob_step(params, batch_stats, imgs_u8):
-        imgs = preprocess_batch(jax.random.key(0), imgs_u8, training=False)
+        means = None
+        if device_tissue_threshold is None:
+            imgs = preprocess_batch(jax.random.key(0), imgs_u8,
+                                    training=False)
+        else:
+            from ss25_hierarchical_multiscale_image_classification_tpu.ops.pallas.preprocess import (
+                fused_normalize,
+            )
+
+            imgs, means = fused_normalize(imgs_u8, dtype=jnp.float32)
         if imgs.shape[1] != input_size:
-            # patches from coarser/finer levels resize on device
+            # patches from coarser/finer levels resize on device (normalize
+            # is per-channel affine, so it commutes with bilinear resize)
             imgs = jax.image.resize(
                 imgs,
                 (imgs.shape[0], input_size, input_size, 3),
@@ -183,7 +202,12 @@ def make_prob_step(model, input_size: int = 224):
         logits = model.apply(
             {"params": params, "batch_stats": batch_stats}, imgs, train=False
         ).astype(jnp.float32)
-        return logits[:, 1] - logits[:, 0]
+        margin = logits[:, 1] - logits[:, 0]
+        if means is not None:
+            margin = jnp.where(
+                means > device_tissue_threshold, NON_TISSUE_MARGIN, margin
+            )
+        return margin
 
     return prob_step
 
@@ -230,6 +254,7 @@ def predict_slide(
     warmup: bool = False,
     qtree: dict | None = None,
     output: str = "prob",
+    tissue_filter: str = "host",
 ) -> tuple[np.ndarray, PatchGrid]:
     """Tumor probability per grid cell.
 
@@ -246,9 +271,31 @@ def predict_slide(
     calibrated once on training tissue) outputs are deterministic across
     batch sizes and slides; without one, scales calibrate lazily on this
     slide's first tissue batch.
+
+    ``tissue_filter`` picks where the white-patch short-circuit runs:
+
+    - ``"host"`` (default): per-cell ``mean > threshold`` on the host
+      before batching — white cells are never uploaded. Right whenever
+      host→device bandwidth is the scarce resource.
+    - ``"device"``: every cell uploads and the jitted step runs the fused
+      normalize+statistic Pallas kernel, clamping white cells on device —
+      the host never computes per-patch means. Right when host CPU is the
+      scarce resource and the feed link is full-rate (PCIe/DMA): it removes
+      the host's O(pixels) filter pass from the critical path at the cost
+      of uploading background cells. Float single-chip path only (the int8
+      stem consumes raw uint8 with the normalize folded into its weights,
+      and a pallas_call under a GSPMD mesh jit would replicate per device).
     """
     if output not in ("prob", "margin"):
         raise ValueError(f"unknown output mode {output!r}")
+    if tissue_filter not in ("host", "device"):
+        raise ValueError(f"unknown tissue_filter {tissue_filter!r}")
+    if tissue_filter == "device" and (int8 or mesh is not None):
+        raise ValueError(
+            "tissue_filter='device' is the float single-chip path: the int8 "
+            "stem folds normalization into its weights, and the meshed step "
+            "would replicate the pallas_call per device"
+        )
     slide = (
         open_slide(slide_or_path) if isinstance(slide_or_path, str) else slide_or_path
     )
@@ -262,9 +309,18 @@ def predict_slide(
         )
         coords = grid.coords_array()
         model = model or ResNet18Classifier()
-        step = make_prob_step(model, input_size)
+        step = make_prob_step(
+            model,
+            input_size,
+            device_tissue_threshold=(
+                float(tissue_threshold) if tissue_filter == "device" else None
+            ),
+        )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        if tissue_filter == "device" and batch_size % 8:
+            # the fused kernel blocks the batch dim at 8 (TPU sublane tiling)
+            batch_size = -(-batch_size // 8) * 8
         qstep = make_prob_step_int8(input_size) if int8 else None
         qstate: dict = {}
         if mesh is not None:
@@ -406,7 +462,10 @@ def predict_slide(
                         full = np.full((ps, ps, 3), 255, np.uint8)
                         full[:, : patch.shape[1]] = patch
                         patch = full
-                    if patch.mean() > tissue_threshold:
+                    if (
+                        tissue_filter == "host"
+                        and patch.mean() > tissue_threshold
+                    ):
                         continue
                     batch_imgs[len(batch_pos)] = patch
                     # coords_array order is x-outer / y-inner (reference

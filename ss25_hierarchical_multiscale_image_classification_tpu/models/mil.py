@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 _NEG_INF = -1e9
@@ -102,6 +103,71 @@ class MILClassifier(nn.Module):
         logits = nn.Dense(self.num_classes, dtype=self.dtype,
                           param_dtype=self.param_dtype)(x)
         return logits.astype(jnp.float32), attn
+
+
+def attention_params(params: dict) -> tuple:
+    """Extract the attention-pooling parameters (V kernel, V bias, w) from a
+    ``MILClassifier`` params tree — the handoff point to the streaming
+    Pallas pool (``ops/pallas/mil_pool.py``) and the sharded collective pool
+    below, both of which take raw arrays rather than a flax module."""
+    p = params["MILAttentionPooling_0"]
+    return p["V"]["kernel"], p["V"]["bias"], p["w"]["kernel"][:, 0]
+
+
+def attention_weights(params: dict, h, mask=None):
+    """Per-instance attention weights of a ``MILClassifier`` params tree:
+    ``softmax(w · tanh(h V + b))`` over the bag axis (masked). Used by the
+    streaming-inference path when the caller wants the attention map for
+    visualization — the pooled bag itself comes from the Pallas kernel
+    without materializing these intermediates."""
+    v, vb, w = attention_params(params)
+    a = jnp.tanh(h.astype(jnp.float32) @ v.astype(jnp.float32)
+                 + vb.astype(jnp.float32)) @ w.astype(jnp.float32)
+    if mask is not None:
+        a = jnp.where(mask, a, _NEG_INF)
+    return jax.nn.softmax(a, axis=-1)
+
+
+def apply_head(params: dict, pooled, dropout_rate: float = 0.0, rng=None):
+    """MLP head of ``MILClassifier`` (Dense→ReLU→[dropout]→Dense) applied to
+    an externally-pooled bag. ``rng`` enables stochastic dropout (the
+    MC-dropout sampling path: pooling is deterministic, so uncertainty
+    sampling only needs to re-run the head, not re-pool the bag)."""
+    d0, d1 = params["Dense_0"], params["Dense_1"]
+    x = pooled.astype(jnp.float32) @ d0["kernel"].astype(jnp.float32) + d0["bias"]
+    x = jax.nn.relu(x)
+    if rng is not None and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, x.shape)
+        x = jnp.where(keep, x / (1.0 - dropout_rate), 0.0)
+    logits = x @ d1["kernel"].astype(jnp.float32) + d1["bias"]
+    return logits.astype(jnp.float32)
+
+
+def streaming_attention_pool(params: dict, h, mask, block_k: int = 512):
+    """Attention-pool padded bags through the streaming Pallas kernel.
+
+    Production inference path for huge bags (a slide contributes ~10^4+
+    instances; SURVEY.md §5 "long-context"): the XLA module materializes
+    (B, K, H) tanh activations plus (B, K) attention in HBM, the kernel
+    streams instance blocks through VMEM with an online softmax. Bags are
+    zero-padded (mask False) up to a ``block_k`` multiple; numerically
+    identical to :class:`MILAttentionPooling` on the unpadded bag.
+    """
+    from ss25_hierarchical_multiscale_image_classification_tpu.ops.pallas.mil_pool import (
+        mil_attention_pool_pallas,
+    )
+
+    b, k, d = h.shape
+    block_k = min(block_k, k)
+    pad = (-k) % block_k
+    if pad:
+        h = jnp.concatenate([h, jnp.zeros((b, pad, d), h.dtype)], axis=1)
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((b, pad), mask.dtype)], axis=1
+        )
+    v, vb, w = attention_params(params)
+    return mil_attention_pool_pallas(h, mask, v, w, v_bias=vb,
+                                     block_k=block_k)
 
 
 def sharded_attention_pool(h_local, mask_local, v, w, v_bias=None,

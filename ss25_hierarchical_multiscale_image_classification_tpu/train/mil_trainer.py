@@ -70,6 +70,7 @@ def train_mil_classifier(
         attention_hidden_dim=mc.attention_hidden_dim,
         head_hidden_dim=mc.head_hidden_dim,
         pooling=mc.pooling,
+        dropout_rate=mc.dropout_rate,
     )
     d = train_bags[0].features.shape[1]
     max_bag = min(mc.max_bag_size, max(len(b.features) for b in bags))
@@ -149,28 +150,59 @@ def mil_predict(
     cfg: Config,
     mc_dropout: bool = False,
     rng=None,
+    return_attention: bool = True,
+    streaming: bool | None = None,
 ) -> dict:
     """Slide-level prediction (+ attention, + MC-dropout uncertainty),
     fixing the reference's broken numpy/torch ``predict``
     (``mil_classifier.py:47-54``) and implementing its uncertainty TODO
-    (``mil_classifier.py:56-58``)."""
+    (``mil_classifier.py:56-58``).
+
+    Bags of ``cfg.mil.streaming_bag_threshold``+ instances pool through the
+    streaming Pallas kernel (``ops/pallas/mil_pool.py``) instead of the XLA
+    module — same numbers, no (K, H) HBM intermediates — and MC-dropout
+    then samples only the MLP head over the once-pooled bag (dropout sits
+    entirely after the pooling, so re-pooling per sample is pure waste).
+    ``streaming`` forces the choice either way.
+    """
     mc = cfg.mil
     model = MILClassifier(
         num_classes=mc.num_classes,
         attention_hidden_dim=mc.attention_hidden_dim,
         head_hidden_dim=mc.head_hidden_dim,
         pooling=mc.pooling,
+        dropout_rate=mc.dropout_rate,
     )
     from ss25_hierarchical_multiscale_image_classification_tpu.models.mil import (
+        apply_head,
+        attention_weights,
         pad_bag,
+        streaming_attention_pool,
     )
 
     k = min(len(bag_features), mc.max_bag_size)
     feats, mask = pad_bag(bag_features.astype(np.float32), max(k, 1))
     feats = jnp.asarray(feats[None])
     mask = jnp.asarray(mask[None])
+    params = variables["params"]
+    if streaming is None:
+        streaming = (
+            mc.pooling == "attention" and k >= mc.streaming_bag_threshold
+        )
 
-    logits, attn = model.apply({"params": variables["params"]}, feats, mask)
+    pooled = None
+    if streaming:
+        pooled = streaming_attention_pool(params, feats, mask)  # (1, D)
+        logits = apply_head(params, pooled)
+        attn = (
+            attention_weights(params, feats, mask)
+            if return_attention
+            else None
+        )
+    else:
+        logits, attn = model.apply({"params": params}, feats, mask)
+        if not return_attention:
+            attn = None
     probs = jax.nn.softmax(logits, axis=-1)
     out = {
         "probs": np.asarray(probs)[0],
@@ -178,17 +210,34 @@ def mil_predict(
         "attention": None if attn is None else np.asarray(attn)[0, :k],
     }
     if mc_dropout:
-        from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.uncertainty import (
-            monte_carlo_dropout,
-        )
+        n_samples = cfg.uncertainty.monte_carlo_samples
+        rng = rng if rng is not None else jax.random.key(0)
+        if mc.pooling == "attention" and pooled is None:
+            # pooling is deterministic for every mode; reuse it across
+            # samples on the XLA path too
+            pooled = streaming_attention_pool(params, feats, mask)
+        if pooled is not None:
+            keys = jax.random.split(rng, n_samples)
+            sample_probs = jax.vmap(
+                lambda key: jax.nn.softmax(
+                    apply_head(params, pooled, mc.dropout_rate, rng=key),
+                    axis=-1,
+                )
+            )(keys)  # (S, 1, C)
+            out["mc_mean"] = np.asarray(jnp.mean(sample_probs, axis=0))[0]
+            out["mc_variance"] = np.asarray(jnp.var(sample_probs, axis=0))[0]
+        else:
+            from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.uncertainty import (
+                monte_carlo_dropout,
+            )
 
-        mean, var = monte_carlo_dropout(
-            lambda v, x, **kw: model.apply(v, x, mask, train=True, **kw),
-            {"params": variables["params"]},
-            feats,
-            rng if rng is not None else jax.random.key(0),
-            n_samples=cfg.uncertainty.monte_carlo_samples,
-        )
-        out["mc_mean"] = np.asarray(mean)[0]
-        out["mc_variance"] = np.asarray(var)[0]
+            mean, var = monte_carlo_dropout(
+                lambda v, x, **kw: model.apply(v, x, mask, train=True, **kw),
+                {"params": params},
+                feats,
+                rng,
+                n_samples=n_samples,
+            )
+            out["mc_mean"] = np.asarray(mean)[0]
+            out["mc_variance"] = np.asarray(var)[0]
     return out

@@ -70,6 +70,43 @@ def test_predict_slide_grid(synthetic_case, small_classifier):
     assert probs.max() > 0.0
 
 
+def test_predict_slide_device_tissue_filter_matches_host(
+    synthetic_case, small_classifier
+):
+    """tissue_filter='device' (fused normalize+statistic Pallas kernel,
+    white-patch short-circuit on device) reproduces the host-filter grid:
+    same tissue/background partition, same margins on tissue cells."""
+    model, variables = small_classifier
+    slide_path = os.path.join(
+        synthetic_case, "train", "img", "tumor_001.wsi.npz"
+    )
+    kw = dict(level=3, batch_size=8, model=model, input_size=64,
+              output="margin")
+    host, grid = predict_slide(slide_path, variables, **kw)
+    dev, _ = predict_slide(
+        slide_path, variables, tissue_filter="device", **kw
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
+        NON_TISSUE_MARGIN,
+    )
+
+    np.testing.assert_array_equal(
+        host == NON_TISSUE_MARGIN, dev == NON_TISSUE_MARGIN
+    )
+    tissue = host != NON_TISSUE_MARGIN
+    assert tissue.any()
+    np.testing.assert_allclose(dev[tissue], host[tissue], rtol=1e-4,
+                               atol=1e-4)
+
+    # guarded invalid combinations
+    with pytest.raises(ValueError):
+        predict_slide(slide_path, variables, tissue_filter="device",
+                      int8=True, **{k: v for k, v in kw.items()
+                                    if k != "output"})
+    with pytest.raises(ValueError):
+        predict_slide(slide_path, variables, tissue_filter="nowhere", **kw)
+
+
 def test_nms_and_csv(tmp_path):
     from ss25_hierarchical_multiscale_image_classification_tpu.grid.pyramid import (
         PatchGrid,

@@ -83,3 +83,96 @@ def test_mil_trainer_end_to_end(tmp_path):
     assert pred["probs"].shape == (2,)
     assert pred["attention"] is not None and len(pred["attention"]) == 20
     assert pred["mc_variance"].shape == (2,)
+
+
+def _toy_variables(d=16, k=40, seed=3):
+    import jax
+    import jax.numpy as jnp
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.models.mil import (
+        MILClassifier,
+    )
+
+    model = MILClassifier()
+    rng = np.random.default_rng(seed)
+    feats = rng.normal(0, 1, (k, d)).astype(np.float32)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, k, d)), jnp.ones((1, k), bool)
+    )
+    return variables, feats
+
+
+def test_mil_predict_streaming_matches_xla():
+    """The streaming (Pallas) inference path — pooled bag, head logits,
+    attention map — reproduces the XLA module exactly; the bag-size
+    threshold routes automatically."""
+    from ss25_hierarchical_multiscale_image_classification_tpu.config import (
+        Config as Cfg,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.train.mil_trainer import (
+        mil_predict,
+    )
+
+    variables, feats = _toy_variables()
+    cfg = Cfg()
+    cfg.mil.max_bag_size = 64
+    ref = mil_predict(variables, feats, cfg, streaming=False)
+    got = mil_predict(variables, feats, cfg, streaming=True)
+    np.testing.assert_allclose(got["probs"], ref["probs"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        got["attention"], ref["attention"], rtol=1e-4, atol=1e-6
+    )
+    assert got["prediction"] == ref["prediction"]
+
+    # auto-routing: bags at/above the threshold stream
+    cfg.mil.streaming_bag_threshold = 16
+    auto = mil_predict(variables, feats, cfg)
+    np.testing.assert_allclose(auto["probs"], got["probs"], rtol=1e-6)
+
+
+def test_mil_predict_mc_dropout_head_only_sampling():
+    """MC-dropout over the once-pooled bag (head-only sampling) converges to
+    the same predictive mean as full-model re-pooling — dropout sits
+    entirely after the deterministic pooling."""
+    import jax
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.config import (
+        Config as Cfg,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.models.mil import (
+        MILClassifier,
+        pad_bag,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.train.mil_trainer import (
+        mil_predict,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.uncertainty import (
+        monte_carlo_dropout,
+    )
+    import jax.numpy as jnp
+
+    variables, feats_np = _toy_variables(seed=4)
+    cfg = Cfg()
+    cfg.mil.max_bag_size = 64
+    cfg.uncertainty.monte_carlo_samples = 400
+
+    pred = mil_predict(
+        variables, feats_np, cfg, mc_dropout=True, rng=jax.random.key(1)
+    )
+    assert pred["mc_mean"].shape == (2,)
+    assert float(pred["mc_variance"].max()) > 0.0  # dropout is stochastic
+
+    # reference: full-model MC sampling (independent noise stream)
+    model = MILClassifier(dropout_rate=cfg.mil.dropout_rate)
+    feats, mask = pad_bag(feats_np, 40)
+    mean_full, _ = monte_carlo_dropout(
+        lambda v, x, **kw: model.apply(v, x, jnp.asarray(mask[None]),
+                                       train=True, **kw),
+        variables,
+        jnp.asarray(feats[None]),
+        jax.random.key(2),
+        n_samples=400,
+    )
+    np.testing.assert_allclose(
+        pred["mc_mean"], np.asarray(mean_full)[0], atol=0.06
+    )
