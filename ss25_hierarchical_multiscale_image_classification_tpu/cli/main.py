@@ -129,6 +129,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "-aux, aux-base and ensemble-base surfaces (one"
                              " inference pass; dirs model_predictions_csv_"
                              "{fusion,aux,aux_base,ensemble_base})")
+    parser.add_argument("--compile_cache_dir", type=str, default=None,
+                        help="Persistent XLA compilation cache directory "
+                             "(default ~/.cache/hipac-tpu/jax_cache; 'off' "
+                             "disables). Cold processes re-use compiled "
+                             "executables instead of re-paying "
+                             "minutes-long compiles")
     parser.add_argument("--tissue_filter", choices=["host", "device"],
                         default="host",
                         help="With --predict_slide (float, single chip): "
@@ -275,6 +281,42 @@ def _reject_unknown_args(parser: argparse.ArgumentParser, argv) -> None:
         sys.exit(1)
 
 
+def setup_compilation_cache(path: str | None = None) -> str | None:
+    """Point JAX's persistent compilation cache at a durable directory.
+
+    Every cold CLI process otherwise re-pays full XLA compiles — measured
+    431 s for one gigapixel ``--predict_slide`` pass vs its 28 s runtime
+    (``docs/proofs/heatmap_report.json``, round 4). With the cache, the
+    second cold process deserializes executables in seconds.
+
+    ``path=None`` picks ``~/.cache/hipac-tpu/jax_cache`` unless the
+    ``JAX_COMPILATION_CACHE_DIR`` env var already set one (which JAX
+    honors on its own — we leave it alone). ``path="off"`` disables.
+    Returns the directory in use, or None when disabled/deferred to env.
+    """
+    if path == "off":
+        return None
+    if path is None and os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return None  # user already configured it at the env level
+    import jax
+
+    path = path or os.path.join(
+        os.path.expanduser("~"), ".cache", "hipac-tpu", "jax_cache"
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache everything that takes >= 1 s to build, regardless of size:
+        # the default 2 KiB floor skips nothing relevant here, but the
+        # default min compile time would drop small-yet-hot steps
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except (OSError, AttributeError) as e:  # unwritable dir / old jax
+        log.warning("persistent compilation cache disabled: %s", e)
+        return None
+    return path
+
+
 def _config_from_args(args) -> Config:
     if getattr(args, "config", None):
         import json
@@ -316,6 +358,7 @@ def main(argv=None) -> int:
             "configures the cascade's screen pass)"
         )
     cfg = _config_from_args(args)
+    setup_compilation_cache(args.compile_cache_dir)
 
     from ss25_hierarchical_multiscale_image_classification_tpu.io.download import (
         download_all_tumor_extract_patches,

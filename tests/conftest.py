@@ -72,6 +72,7 @@ _SLOW_TESTS = {
     "test_qat_gradients_flow_through_every_conv",       # 79s
     "test_streaming_train_matches_store_and_holds_out_val",  # 74s
     "test_two_process_dp_train_step_stays_in_sync",     # 71s
+    "test_four_process_simclr_nt_xent_all_gather",      # 24s (r5)
     "test_frozen_bn_trains_affine_but_not_stats",       # 61s
     "test_qat_forward_tracks_int8_deployment",          # 55s
     "test_simclr_pretrain_one_epoch",                   # 44s

@@ -16,6 +16,7 @@ def main() -> None:
     rank = int(sys.argv[1])
     nproc = int(sys.argv[2])
     port = sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "dp"
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
@@ -25,6 +26,8 @@ def main() -> None:
     jax.distributed.initialize(
         f"localhost:{port}", num_processes=nproc, process_id=rank
     )
+    if mode == "simclr":
+        return simclr_allgather(rank, nproc)
 
     import numpy as np
     import jax.numpy as jnp
@@ -100,6 +103,74 @@ def main() -> None:
     digest = float(np.sum(np.abs(leaf), dtype=np.float64))
     print(f"RESULT rank={rank} loss={float(loss):.6f} digest={digest:.10e}",
           flush=True)
+
+
+def simclr_allgather(rank: int, nproc: int) -> None:
+    """The SimCLR NT-Xent collective across PROCESS boundaries.
+
+    NT-Xent needs the global (2N, 2N) similarity matrix, so under a mesh
+    each device's projection shard must all-gather across every other
+    device — on a production multi-host slice that collective is the one
+    that crosses DCN (SURVEY.md §5, §7 "NT-Xent across devices"). Each
+    process feeds only its slice of the projections; the meshed loss/grad
+    must match a purely local (no-collective) evaluation of the full batch.
+    """
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.models.simclr import (
+        nt_xent_loss,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.parallel.feed import (
+        feed_global_batch,
+        process_batch_slice,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.parallel.mesh import (
+        make_mesh,
+    )
+
+    assert jax.process_count() == nproc
+    mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+
+    n, d = 4 * n_dev, 32
+    rng = np.random.default_rng(0)  # deterministic: all ranks agree
+    z_i_full = rng.normal(size=(n, d)).astype(np.float32)
+    z_j_full = rng.normal(size=(n, d)).astype(np.float32)
+    sl = process_batch_slice(n)
+    z = feed_global_batch(mesh, {"zi": z_i_full[sl], "zj": z_j_full[sl]})
+
+    @jax.jit
+    def loss_and_grad(zi, zj):
+        return jax.value_and_grad(
+            lambda a, b: nt_xent_loss(a, b, temperature=0.5), argnums=(0, 1)
+        )(zi, zj)
+
+    loss, (gi, gj) = loss_and_grad(z["zi"], z["zj"])
+
+    # local reference: same math on process-local arrays, no mesh, no
+    # collectives (every rank holds the full deterministic batch)
+    ref_loss, (ref_gi, _ref_gj) = loss_and_grad(
+        jnp.asarray(z_i_full), jnp.asarray(z_j_full)
+    )
+
+    # fetch THIS process's addressable shards of the distributed gradient
+    gi_local = np.concatenate([
+        np.asarray(s.data)
+        for s in sorted(gi.addressable_shards, key=lambda s: s.index[0].start)
+    ])
+    ref_local = np.asarray(ref_gi)[sl]
+    err = float(np.abs(gi_local - ref_local).max())
+    digest = float(np.sum(np.abs(gi_local), dtype=np.float64))
+    print(
+        f"RESULT rank={rank} loss={float(loss):.6f} ref={float(ref_loss):.6f}"
+        f" graderr={err:.3e} digest={digest:.10e}",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

@@ -305,3 +305,26 @@ def test_cascade_bailout_without_cascade_is_an_error(capsys):
         main(["--predict_slide", "x.tif", "--cascade_bailout", "0.5"])
     assert exc.value.code == 2
     assert "--cascade_bailout requires --cascade" in capsys.readouterr().err
+
+
+def test_compilation_cache_setup(tmp_path, monkeypatch):
+    """Persistent-compile-cache startup: explicit dir wins, 'off' disables,
+    an env-level JAX_COMPILATION_CACHE_DIR is left alone."""
+    import jax
+
+    from ss25_hierarchical_multiscale_image_classification_tpu.cli.main import (
+        setup_compilation_cache,
+    )
+
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    target = str(tmp_path / "jax_cache")
+    assert setup_compilation_cache(target) == target
+    assert os.path.isdir(target)
+    assert jax.config.jax_compilation_cache_dir == target
+    assert jax.config.jax_persistent_cache_min_compile_time_secs == 1.0
+    assert jax.config.jax_persistent_cache_min_entry_size_bytes == 0
+
+    assert setup_compilation_cache("off") is None
+
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/elsewhere")
+    assert setup_compilation_cache(None) is None  # defer to the env var
