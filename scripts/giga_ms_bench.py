@@ -107,7 +107,7 @@ def main() -> None:
     report["tissue_cells"] = int((probs > 0).sum())
 
     t0 = time.time()
-    full, _ = predict_slide_multiscale(
+    full, ms_grid = predict_slide_multiscale(
         a.slide, ms_vars, levels=(2, 3), stride=a.stride,
         batch_size=a.batch_size,
     )
@@ -153,10 +153,54 @@ def main() -> None:
     report["speedup_vs_full_multiscale"] = round(
         report["multiscale_s"] / max(report["multiscale_cascade_s"], 1e-9), 2
     )
+
+    # DETECTION-LEVEL recall safety (VERDICT r4 #9): grid-value parity is
+    # the wrong bar — screened-out cells intentionally carry the screen
+    # margin, not the fused value. What production consumes is the
+    # detection list, so the claim to assert is: every detection the FULL
+    # fused pass emits above the operating point is also emitted by the
+    # cascade (same NMS, same threshold), within the NMS suppression
+    # radius. Extra cascade detections are fine (they only add operating
+    # points for the FROC consumer); a MISSING one is a recall loss.
+    from ss25_hierarchical_multiscale_image_classification_tpu.config import (
+        DETECTION_PROB_THRESHOLD,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.infer.sliding_window import (
+        nms_detections,
+    )
+
+    radius_cells = 1
+    thr = max(DETECTION_PROB_THRESHOLD, 0.5)
+    full_dets = nms_detections(full, ms_grid, threshold=thr,
+                               radius_cells=radius_cells)
+    casc_dets = nms_detections(casc, ms_grid, threshold=thr,
+                               radius_cells=radius_cells)
+    match_l0 = (radius_cells + 1) * ms_grid.stride * ms_grid.downsample
+
+    def _covered(det, dets) -> bool:
+        _, x, y = det
+        return any(
+            abs(x - x2) <= match_l0 and abs(y - y2) <= match_l0
+            for _, x2, y2 in dets
+        )
+
+    missed = [d for d in full_dets if not _covered(d, casc_dets)]
+    report["detection_parity"] = {
+        "threshold": thr,
+        "full_detections": len(full_dets),
+        "cascade_detections": len(casc_dets),
+        "full_detections_missed_by_cascade": len(missed),
+        "cascade_detection_superset_of_full": not missed,
+    }
     os.makedirs(os.path.dirname(a.out) or ".", exist_ok=True)
     with open(a.out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report))
+    # asserted AFTER the report lands on disk so a recall loss is both
+    # fatal (nonzero exit for the proof harness) and diagnosable
+    assert not missed, (
+        f"cascade lost {len(missed)} full-pass detections: {missed[:5]}"
+    )
 
 
 if __name__ == "__main__":

@@ -308,6 +308,83 @@ def bench_simclr(batch: int, iters: int, warmup: int = 3,
     return out
 
 
+def bench_e2e(n_patches: int, batch: int, epochs: int, root: str) -> dict:
+    """END-TO-END training throughput: packed store → native OpenMP gather
+    → prefetcher thread → H2D → on-device augment + fwd/bwd + Adam.
+
+    The device-staged numbers above isolate the chip; this mode runs the
+    REAL production loop (``train/trainer.Trainer``: BatchIterator over
+    the packed store, depth-2 Prefetcher, sharded device_put per step) and
+    reports sustained patches/s including the host feed. Epoch 1 (compile)
+    is reported separately; steady state is the min over later epochs.
+    Mirrors the e2e features bench (``scripts/e2e_features_bench.py``) on
+    the training side — same store, same caveat: on the tunneled dev setup
+    the H2D link, not the pipeline, is usually the wall (the report's
+    ``approx_h2d_mb_per_s`` quantifies it per capture).
+    """
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from e2e_features_bench import fabricate_store
+    from ss25_hierarchical_multiscale_image_classification_tpu.data.datasets import (
+        PatchDataset,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.data.manifest import (
+        load_or_scan_manifest,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.models.resnet import (
+        ResNet18Classifier,
+    )
+    from ss25_hierarchical_multiscale_image_classification_tpu.train.trainer import (
+        Trainer,
+    )
+
+    patches_dir = os.path.join(root, "patches")
+    level = 3
+    manifest = None
+    if os.path.isdir(patches_dir):
+        try:
+            manifest = load_or_scan_manifest(patches_dir, level)
+        except Exception:
+            manifest = None
+    if manifest is None or len(manifest) < n_patches:
+        t0 = time.perf_counter()
+        fabricate_store(patches_dir, n_patches, level)
+        print(f"[fabricate] {n_patches} patches in "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        manifest = load_or_scan_manifest(patches_dir, level)
+
+    ds = PatchDataset(manifest)
+    trainer = Trainer(
+        ResNet18Classifier(),
+        ds,
+        None,
+        batch_size=batch,
+        learning_rate=1e-4,
+        class_weights=np.asarray([1.0, 6.0], np.float32),
+        seed=0,
+    )
+    epoch_stats = [trainer.train_epoch(e) for e in range(epochs)]
+    steady = min(s["seconds"] for s in epoch_stats[1:]) if epochs > 1 else (
+        epoch_stats[0]["seconds"]
+    )
+    n = len(ds)
+    return {
+        "n_patches": n,
+        "epochs": epochs,
+        "first_epoch_s": round(epoch_stats[0]["seconds"], 1),
+        "steady_epoch_s": round(steady, 1),
+        "sustained_patches_per_sec": round(n / steady, 1),
+        "approx_h2d_mb_per_s": round(
+            n * 224 * 224 * 3 / 1e6 / steady, 1
+        ),
+        "backend": jax.default_backend(),
+        "note": "store→gather→prefetch→H2D→augment+fwd/bwd+Adam, the real "
+                "Trainer loop; compare against the device-staged step rate "
+                "to see the host-feed share",
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=512)
@@ -319,7 +396,19 @@ def main() -> None:
                          " BN in the train graph; norms fuse into conv"
                          " epilogues — the --freeze_bn CLI regime)")
     ap.add_argument("--skip_simclr", action="store_true")
+    ap.add_argument("--e2e", type=int, default=0, metavar="N",
+                    help="ONLY run the end-to-end mode: sustained "
+                         "patches/s of the real store→train loop over a "
+                         "packed store of N synthetic patches")
+    ap.add_argument("--e2e_epochs", type=int, default=3)
+    ap.add_argument("--e2e_root", default="/tmp/hipac_train_e2e")
     a = ap.parse_args()
+    if a.e2e:
+        print(json.dumps({
+            "e2e_train": bench_e2e(a.e2e, a.batch, a.e2e_epochs, a.e2e_root),
+            "batch": a.batch,
+        }))
+        return
     out = {
         "classifier_train": bench_classifier(
             a.batch, a.iters, segments=a.segments, frozen_bn=a.freeze_bn

@@ -135,6 +135,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "disables). Cold processes re-use compiled "
                              "executables instead of re-paying "
                              "minutes-long compiles")
+    parser.add_argument("--model_name", type=str,
+                        default="resnet18_patch_classifier",
+                        help="With --predict_slide (single-level): which "
+                             "classifier artifact under models_dir drives "
+                             "the producer (e.g. resnet18_patch_classifier"
+                             "_self_supervised from --train_strategy, "
+                             "mirroring the reference's per-strategy "
+                             "artifacts, src/main.py:605)")
     parser.add_argument("--tissue_filter", choices=["host", "device"],
                         default="host",
                         help="With --predict_slide (float, single chip): "
@@ -797,7 +805,7 @@ def main(argv=None) -> int:
             )
 
             variables = load_model(
-                os.path.join(cfg.models_dir, "resnet18_patch_classifier")
+                os.path.join(cfg.models_dir, args.model_name)
             )
             paths = sorted(
                 os.path.join(args.predict_slide, f)
@@ -839,7 +847,7 @@ def main(argv=None) -> int:
                     log.info("Overlay saved: %s", out)
         else:
             variables = load_model(
-                os.path.join(cfg.models_dir, "resnet18_patch_classifier")
+                os.path.join(cfg.models_dir, args.model_name)
             )
             predict_kw = {}
             if args.batch_size:

@@ -130,6 +130,17 @@ def test_new_round2_flags_parse():
     assert args.int8 and args.group_size == 4
     args = parser.parse_args(["--train"])
     assert not args.int8 and args.group_size is None
+    args = parser.parse_args(
+        ["--predict_slide", "x.tif", "--model_name",
+         "resnet18_patch_classifier_self_supervised",
+         "--tissue_filter", "device", "--compile_cache_dir", "off"]
+    )
+    assert args.model_name.endswith("_self_supervised")
+    assert args.tissue_filter == "device"
+    assert args.compile_cache_dir == "off"
+    assert parser.parse_args(["--train"]).model_name == (
+        "resnet18_patch_classifier"
+    )
 
 
 @pytest.fixture()
