@@ -32,8 +32,19 @@ d = json.load(open("/tmp/train_bench.json"))
 print(json.dumps(d, indent=2))
 EOF
 
-echo "=== [4/6] int8 per-stage roofline ==="
+echo "=== [4/6] int8 + bf16 per-stage rooflines ==="
 python scripts/int8_roofline.py
+python scripts/bf16_roofline.py
+
+echo "=== [4b] host decode rates + N-core feed projection ==="
+python scripts/decode_bench.py
+
+echo "=== [4c] end-to-end training throughput (store -> train loop) ==="
+python scripts/train_bench.py --e2e 25000 > /tmp/train_e2e.json
+cat /tmp/train_e2e.json
+
+echo "=== [4d] three-strategy quality shootout (label-scarce split) ==="
+python scripts/strategy_shootout.py --resume
 
 if [ "$MODE" = "full" ]; then
   echo "=== [5/6] 48-slide end-to-end FROC proof ==="

@@ -349,7 +349,15 @@ def main() -> None:
         "balanced",
         sampler=BalancedSampler(labels, seed=cfg.train.seed),
     )
-    finetune("self_supervised", pretrained=simclr_trunk)
+    # The reference computes total/count weights BEFORE the strategy branch
+    # and its self_supervised criterion uses them
+    # (src/main.py:549-552, 558-560) — without them the 5:1-imbalanced
+    # few-label set collapses the fine-tune to the majority class.
+    finetune(
+        "self_supervised",
+        weights=class_weights_total_over_count(labels, 2),
+        pretrained=simclr_trunk,
+    )
 
     report["gate_simclr_probe_beats_random"] = bool(
         report["simclr_probe"]["balanced_acc"]

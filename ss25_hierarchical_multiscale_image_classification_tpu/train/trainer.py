@@ -376,12 +376,15 @@ def train_resnet_classifier_strategic(
     weights = None
     sampler = None
     pretrained = None
-    if strategy == "weighted_loss":
+    if strategy in ("weighted_loss", "self_supervised"):
+        # The reference computes total/count weights before its strategy
+        # branch and uses them in BOTH the weighted_loss and the
+        # self_supervised criterion (main.py:549-552, 558-560, 571-572).
         weights = class_weights_total_over_count(
             train_ds.labels, cfg.model.num_classes
         )
         log.info("Class weights (total/count): %s", weights)
-    elif strategy == "balanced":
+    if strategy == "balanced":
         sampler = BalancedSampler(train_ds.labels, seed=cfg.train.seed)
     elif strategy == "self_supervised":
         from ss25_hierarchical_multiscale_image_classification_tpu.train.checkpoints import (

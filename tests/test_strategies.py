@@ -1,10 +1,16 @@
-"""Strategy trainer dispatch and encoder-reuse semantics."""
+"""Strategy trainer dispatch, encoder-reuse semantics, and the
+strategy-quality gate distilled from ``docs/proofs/strategy_report.json``."""
+
+import json
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from ss25_hierarchical_multiscale_image_classification_tpu.models import (
     ResNet18Classifier,
@@ -68,6 +74,40 @@ def test_classifier_head_adopted_when_shapes_match():
         np.asarray(state.params["fc"]["kernel"]),
         np.asarray(src["params"]["fc"]["kernel"]),
     )
+
+
+def test_strategy_shootout_gate():
+    """Regression gate over the committed TPU proof artifact
+    (``scripts/strategy_shootout.py`` regenerates it): SimCLR pretraining
+    must actually help downstream — the frozen-encoder linear probe beats
+    the random-init probe on the label-scarce held-out slides, and no
+    fine-tune arm collapses to the majority class. This is the quality
+    claim behind the reference's strategy training (main.py:536-606) and
+    SimCLR pretraining (src/models/simclr.py:68-123)."""
+    path = os.path.join(_REPO, "docs", "proofs", "strategy_report.json")
+    with open(path) as f:
+        report = json.load(f)
+
+    for arm in ("random_probe", "simclr_probe", "weighted_loss",
+                "balanced", "self_supervised"):
+        assert arm in report, f"shootout arm {arm!r} missing from proof"
+        assert 0.0 <= report[arm]["balanced_acc"] <= 1.0
+        assert 0.5 <= report[arm]["auc"] <= 1.0, (
+            f"{arm} AUC below chance: {report[arm]}"
+        )
+
+    assert report["gate_simclr_probe_beats_random"] is True
+    assert (report["simclr_probe"]["balanced_acc"]
+            > report["random_probe"]["balanced_acc"])
+    # a fine-tune that predicts one class scores exactly 0.5 balanced acc
+    for arm in ("weighted_loss", "balanced", "self_supervised"):
+        assert report[arm]["balanced_acc"] > 0.5, (
+            f"{arm} fine-tune collapsed to the majority class: {report[arm]}"
+        )
+    # no label leakage: eval slides must be disjoint from labeled+pretrain
+    split = report["split"]
+    assert not set(split["eval_slides"]) & set(split["labeled_slides"])
+    assert not set(split["eval_slides"]) & set(split["pretrain_slides"])
 
 
 def test_strategic_trainer_rejects_unknown_strategy(synthetic_case):
