@@ -272,6 +272,26 @@ def main() -> None:
     multiscale_phase("multiscale_resize", "resize")
     multiscale_phase("multiscale_crop", "crop")
 
+    # Resume on a fresh host: phase RECORDS survive in the committed
+    # report, but their on-disk side effects (patch stores + checkpoints
+    # under /tmp) do not. Later phases depend on them — re-materialize
+    # missing prerequisites without re-recording the earlier timings.
+    def ensure_patches() -> None:
+        for level, stride in ((3, 112), (2, 224)):
+            pdir = os.path.join(a.root, "patches", f"level_{level}")
+            if not os.path.isdir(pdir) or not os.listdir(pdir):
+                print(f"[prereq] re-extracting level-{level} patches",
+                      flush=True)
+                cli(["--patch", "--patch_level", str(level),
+                     "--stride", str(stride)], a.root, models)
+
+    def ensure_model(name: str, train_args: list[str]) -> None:
+        ensure_patches()  # calibration + any retrain both read patches
+        if not os.path.exists(os.path.join(models, name)):
+            print(f"[prereq] retraining missing artifact {name}",
+                  flush=True)
+            cli(train_args, a.root, models)
+
     # ---- quantization phases: measured where the task is NOT saturated --
     # The 48-slide proof scores 1.0 on every surface, so an int8/QAT
     # quality regression would be invisible there; here the baselines are
@@ -279,6 +299,9 @@ def main() -> None:
 
     # int8 single-level at the signal-bearing level (PTQ artifact)
     if "single_level_L2_int8" not in report:
+        ensure_model("resnet18_patch_classifier",
+                     ["--train", "--patch_level", "2", "--epochs", "10",
+                      "--batch_size", "32"])
         t_q = cli(["--quantize", "--patch_level", "2"], a.root, models)
         t_eval = cli(["--predict_slide", test_img, "--run_evaluation",
                       "--patch_level", "2", "--stride", "112",
@@ -293,6 +316,9 @@ def main() -> None:
 
     # QAT at the same level: upgrades the persisted artifact in place
     if "single_level_L2_qat" not in report:
+        ensure_model("resnet18_patch_classifier",
+                     ["--train", "--patch_level", "2", "--epochs", "10",
+                      "--batch_size", "32"])
         t_q = cli(["--qat", "--patch_level", "2", "--epochs", "2",
                    "--batch_size", "32"], a.root, models)
         t_eval = cli(["--predict_slide", test_img, "--run_evaluation",
@@ -309,6 +335,10 @@ def main() -> None:
     # int8 multiscale: quantize the crop-trained trunk (the last-trained
     # multiscale artifact), rerun the fused producer
     if "multiscale_crop_int8" not in report:
+        ensure_model("hierarchical_classifier",
+                     ["--train_multiscale", "--levels", "2,3",
+                      "--ms_input", "crop", "--epochs", "10",
+                      "--batch_size", "32"])
         t_q = cli(["--quantize", "--multiscale", "--levels", "2,3"],
                   a.root, models)
         t_eval = cli(["--predict_slide", test_img,
@@ -329,6 +359,7 @@ def main() -> None:
     # the single-level producer from the per-strategy artifact
     # (--model_name; reference saves per-strategy at src/main.py:605).
     if "single_level_L2_simclr" not in report:
+        ensure_patches()
         t_train = cli(["--train_strategy", "--strategy", "self_supervised",
                        "--patch_level", "2", "--epochs", "10",
                        "--batch_size", "32", "--config",
