@@ -148,8 +148,17 @@ def main() -> None:
                          "every phase whose result is already recorded")
     ap.add_argument("--out", default=None,
                     help="report path (default docs/proofs/froc_e2e_report.json)")
+    ap.add_argument("--ensure_models", action="store_true",
+                    help="re-materialize the fixture + trained artifacts "
+                         "(patch stores, resnet18_patch_classifier, "
+                         "hierarchical_classifier) WITHOUT touching the "
+                         "committed report — for downstream consumers "
+                         "(scripts/giga_ms_bench.py loads this root's "
+                         "models) after /tmp was wiped between rounds")
     a = ap.parse_args()
 
+    if a.ensure_models:
+        a.keep = True
     if a.resume:
         a.keep = True
     if os.path.exists(a.root) and not a.keep:
@@ -159,11 +168,34 @@ def main() -> None:
     # slides/masks are reusable across runs (--keep); derived artifacts
     # (patch stores, checkpoints, CSVs) are not — always start them fresh
     # (unless resuming, where they ARE the recovered state)
-    if not a.resume:
+    if not a.resume and not a.ensure_models:
         for sub in ("patches", "models"):
             shutil.rmtree(os.path.join(a.root, sub), ignore_errors=True)
 
     fabricate(a.root)
+
+    if a.ensure_models:
+        for level, stride in ((3, 112), (2, 224)):
+            pdir = os.path.join(a.root, "patches", f"level_{level}")
+            if not os.path.isdir(pdir) or not os.listdir(pdir):
+                print(f"[ensure] extracting level-{level} patches",
+                      flush=True)
+                cli(["--patch", "--patch_level", str(level),
+                     "--stride", str(stride)], a.root, models)
+        if not os.path.exists(
+            os.path.join(models, "resnet18_patch_classifier")
+        ):
+            print("[ensure] training resnet18_patch_classifier", flush=True)
+            cli(["--train", "--patch_level", "3", "--epochs", "10",
+                 "--batch_size", "32"], a.root, models)
+        if not os.path.exists(
+            os.path.join(models, "hierarchical_classifier")
+        ):
+            print("[ensure] training hierarchical_classifier", flush=True)
+            cli(["--train_multiscale", "--levels", "2,3", "--epochs", "10",
+                 "--batch_size", "32"], a.root, models)
+        print("[ensure] models ready under", models, flush=True)
+        return
 
     from ss25_hierarchical_multiscale_image_classification_tpu.evaluation.froc import (
         run_froc_evaluation,
